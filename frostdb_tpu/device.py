@@ -1,0 +1,97 @@
+"""Device-resident column data.
+
+A ``DeviceBatch`` mirrors a host ``ColumnBatch`` as padded, static-shape jnp
+arrays: data vector + validity mask per column, padded to ``config.pad_length``
+rows so XLA compiles one executable per (column-set signature, padded size)
+instead of one per row count. Padding rows are invalid (validity False) and
+excluded from every kernel by the selection mask.
+
+This replaces the reference's Arrow record memory with HBM-resident SoA
+vectors (the design stance of SURVEY.md §7; the reference's in-memory format
+is Arrow, README.md:60).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import pad_length
+from .columnbatch import (
+    Column,
+    ColumnBatch,
+    KIND_BOOL,
+    KIND_DICT,
+    KIND_FLOAT64,
+    KIND_INT64,
+    KIND_UINT64,
+)
+
+_KIND_JNP_DTYPE = {
+    KIND_INT64: jnp.int64,
+    KIND_UINT64: jnp.uint64,
+    KIND_FLOAT64: jnp.float64,
+    KIND_BOOL: jnp.bool_,
+    KIND_DICT: jnp.int32,
+}
+
+
+@dataclass
+class DeviceColumn:
+    name: str
+    kind: str
+    data: jax.Array  # [n_pad]
+    validity: jax.Array  # [n_pad] bool
+
+    def to_host(self, n_rows: int, host_col: Column) -> Column:
+        return Column(
+            self.name,
+            self.kind,
+            np.asarray(self.data)[:n_rows],
+            np.asarray(self.validity)[:n_rows],
+            host_col.dictionary if host_col is not None else None,
+        )
+
+
+class DeviceBatch:
+    """Padded device mirror of a host batch."""
+
+    def __init__(self, cb: ColumnBatch):
+        self.host = cb
+        self.n_rows = cb.num_rows
+        self.n_pad = pad_length(max(cb.num_rows, 1))
+        self._cols: dict[str, DeviceColumn] = {}
+
+    def column(self, name: str) -> DeviceColumn | None:
+        dc = self._cols.get(name)
+        if dc is not None:
+            return dc
+        hc = self.host.column(name)
+        if hc is None:
+            return None
+        dc = self._upload(hc)
+        self._cols[name] = dc
+        return dc
+
+    def _upload(self, hc: Column) -> DeviceColumn:
+        pad = self.n_pad - self.n_rows
+        dtype = _KIND_JNP_DTYPE[hc.kind]
+        vals = np.zeros(self.n_pad, dtype=np.asarray(hc.values).dtype)
+        vals[: self.n_rows] = hc.values
+        valid = np.zeros(self.n_pad, dtype=np.bool_)
+        valid[: self.n_rows] = hc.validity
+        del pad
+        return DeviceColumn(
+            hc.name,
+            hc.kind,
+            jnp.asarray(vals, dtype=dtype),
+            jnp.asarray(valid),
+        )
+
+    def row_valid_mask(self) -> jax.Array:
+        """Mask selecting real (non-padding) rows."""
+        return jnp.arange(self.n_pad) < self.n_rows

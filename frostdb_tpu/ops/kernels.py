@@ -1,0 +1,384 @@
+"""Jitted XLA kernels over padded column vectors.
+
+These are the TPU-native replacements for the reference's per-row Go loops:
+
+- predicate masks            <- query/physicalplan/binaryscalarexpr.go,
+                                regexpfilter.go (bitmap building loops)
+- projection arithmetic      <- query/physicalplan/project.go binaryExprProjection
+- group aggregation          <- query/physicalplan/aggregate.go (hash map loop)
+- distinct                   <- query/physicalplan/distinct.go (seen-set loop)
+- sort/take                  <- pqarrow/arrowutils/sort.go
+
+Design: every kernel takes padded static-shape arrays plus masks; row
+selection is a boolean vector (the roaring-bitmap analogue, filter.go:255);
+grouping is *exact* — a multi-key ``lax.sort`` followed by segment
+reductions, so there are no hash collisions and group emission order is the
+deterministic first-occurrence order of the input stream, matching the
+reference's insertion-ordered hash table (aggregate.go:430 map + append-only
+builders).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INT64_BIG = jnp.int64(2**62)
+
+
+# ---------------------------------------------------------------------------
+# Predicate masks
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def compare_scalar_mask(values, validity, literal, op: str):
+    """values <op> literal -> bool mask; null rows never match (reference:
+    ArrayScalarCompute skips null slots, binaryscalarexpr.go:143-146)."""
+    if op == "==":
+        m = values == literal
+    elif op == "!=":
+        m = values != literal
+    elif op == "<":
+        m = values < literal
+    elif op == "<=":
+        m = values <= literal
+    elif op == ">":
+        m = values > literal
+    elif op == ">=":
+        m = values >= literal
+    else:
+        raise ValueError(f"unsupported compare op {op}")
+    return m & validity
+
+
+@jax.jit
+def membership_mask(codes, validity, lut):
+    """Dictionary predicate: lut[code] per row. ``lut`` is the host-evaluated
+    bool vector over dictionary entries (equality / regexp / contains on the
+    dictionary, the binaryscalarexpr.go:194 dictionary trick)."""
+    n = lut.shape[0]
+    safe = jnp.clip(codes, 0, max(n - 1, 0)).astype(jnp.int32)
+    if n == 0:
+        return jnp.zeros(codes.shape, dtype=jnp.bool_)
+    return lut[safe] & validity
+
+
+@jax.jit
+def is_null_mask(validity, row_valid):
+    return (~validity) & row_valid
+
+
+# ---------------------------------------------------------------------------
+# Projection arithmetic
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def arith(lv, l_valid, rv, r_valid, op: str):
+    """Elementwise binary arithmetic with null propagation. Integer division
+    truncates toward zero like Go (jax.lax.div) and division by zero yields
+    null (reference golden: logictest/testdata/exec/aggregate/math
+    ``timestamp / value`` with value=0 -> null)."""
+    valid = l_valid & r_valid
+    if op == "+":
+        out = lv + rv
+    elif op == "-":
+        out = lv - rv
+    elif op == "*":
+        out = lv * rv
+    elif op == "/":
+        if jnp.issubdtype(lv.dtype, jnp.integer):
+            zero = rv == 0
+            valid = valid & ~zero
+            out = jax.lax.div(lv, jnp.where(zero, jnp.ones_like(rv), rv))
+        else:
+            zero = rv == 0
+            valid = valid & ~zero
+            out = lv / jnp.where(zero, jnp.ones_like(rv), rv)
+    else:
+        raise ValueError(f"unsupported arith op {op}")
+    return out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def compare_columns(lv, l_valid, rv, r_valid, op: str):
+    """Column-vs-column comparison producing a bool column (projection of a
+    comparison, e.g. ``select distinct(..., value > 0)``)."""
+    valid = l_valid & r_valid
+    if op == "==":
+        out = lv == rv
+    elif op == "!=":
+        out = lv != rv
+    elif op == "<":
+        out = lv < rv
+    elif op == "<=":
+        out = lv <= rv
+    elif op == ">":
+        out = lv > rv
+    elif op == ">=":
+        out = lv >= rv
+    else:
+        raise ValueError(f"unsupported compare op {op}")
+    return out, valid
+
+
+# ---------------------------------------------------------------------------
+# Exact group-by aggregation
+
+AGG_SUM = "sum"
+AGG_COUNT = "count"
+AGG_MIN = "min"
+AGG_MAX = "max"
+AGG_UNIQUE = "unique"
+AGG_AND = "and"
+
+
+def _as_sort_key(vals) -> jax.Array:
+    """Map a key column to an int64 equality-preserving representation."""
+    dt = vals.dtype
+    if dt == jnp.bool_:
+        return vals.astype(jnp.int64)
+    if jnp.issubdtype(dt, jnp.floating):
+        return jax.lax.bitcast_convert_type(
+            vals.astype(jnp.float64), jnp.int64
+        )
+    if dt == jnp.uint64:
+        return jax.lax.bitcast_convert_type(vals, jnp.int64)
+    return vals.astype(jnp.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("agg_ops",))
+def group_aggregate(key_vals, key_valid, agg_vals, agg_valid, sel, agg_ops):
+    """Exact grouped aggregation.
+
+    Args:
+      key_vals:  tuple of [N] arrays (group key columns).
+      key_valid: tuple of [N] bool arrays.
+      agg_vals:  tuple of [N] arrays (aggregated value columns).
+      agg_valid: tuple of [N] bool arrays.
+      sel:       [N] bool — selected rows (filter mask & non-padding).
+      agg_ops:   static tuple of op names per agg column.
+
+    Returns (num_groups, first_row, group_key_vals, group_key_valid,
+    agg_out_vals, agg_out_valid); all arrays have length N, valid entries are
+    the first ``num_groups``, ordered by first occurrence in the stream.
+    """
+    n = sel.shape[0]
+    rowidx = jnp.arange(n, dtype=jnp.int32)
+
+    # Sort selected rows to the front, grouped by the key tuple, stable by
+    # original row index (rowidx participates as the final key).
+    operands = [(~sel).astype(jnp.int8)]
+    key_reprs = []
+    for v, va in zip(key_vals, key_valid):
+        r = jnp.where(va & sel, _as_sort_key(v), jnp.int64(0))
+        knull = jnp.where(va & sel, jnp.int8(1), jnp.int8(0))
+        key_reprs.append((knull, r))
+        operands.extend([knull, r])
+    operands.append(rowidx)
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=len(operands))
+    perm = sorted_ops[-1]
+    sel_sorted = sorted_ops[0] == 0
+
+    # Segment boundaries: any component of the key changes.
+    def diffs(arr):
+        return jnp.concatenate(
+            [jnp.ones((1,), dtype=jnp.bool_), arr[1:] != arr[:-1]]
+        )
+
+    changed = jnp.zeros(n, dtype=jnp.bool_)
+    i = 1
+    for _knull, _r in key_reprs:
+        changed = changed | diffs(sorted_ops[i]) | diffs(sorted_ops[i + 1])
+        i += 2
+    if not key_reprs:
+        changed = jnp.concatenate(
+            [jnp.ones((1,), dtype=jnp.bool_), jnp.zeros((n - 1,), dtype=jnp.bool_)]
+        )
+    boundary = changed & sel_sorted
+    num_groups = boundary.sum()
+    seg = jnp.maximum(jnp.cumsum(boundary.astype(jnp.int32)) - 1, 0)
+
+    # First-occurrence row per group (rows within a segment are in ascending
+    # original order thanks to the rowidx sort key).
+    first_row = jax.ops.segment_min(
+        jnp.where(sel_sorted, perm, jnp.int32(n)), seg, num_segments=n
+    )
+
+    agg_out_vals = []
+    agg_out_valid = []
+    for (v, va), op in zip(zip(agg_vals, agg_valid), agg_ops):
+        v_s = jnp.take(v, perm)
+        va_s = jnp.take(va, perm)
+        if op == AGG_SUM:
+            # Null slots hold zero, matching the reference's raw-buffer sum
+            # (aggregate.go:763 math.Int64.Sum includes null slots).
+            out = jax.ops.segment_sum(
+                jnp.where(sel_sorted, v_s, jnp.zeros_like(v_s)), seg, num_segments=n
+            )
+            valid = jnp.ones(n, dtype=jnp.bool_)
+        elif op == AGG_COUNT:
+            # Counts all rows in the group including nulls
+            # (aggregate.go:934 CountAggregation appends arr.Len()).
+            out = jax.ops.segment_sum(
+                jnp.where(sel_sorted, jnp.int64(1), jnp.int64(0)), seg, num_segments=n
+            )
+            valid = jnp.ones(n, dtype=jnp.bool_)
+        elif op == AGG_MIN:
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                ident = jnp.array(jnp.inf, dtype=v.dtype)
+            else:
+                ident = _INT64_BIG.astype(v.dtype)
+            out = jax.ops.segment_min(
+                jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
+            )
+            valid = jnp.ones(n, dtype=jnp.bool_)
+        elif op == AGG_MAX:
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                ident = jnp.array(-jnp.inf, dtype=v.dtype)
+            else:
+                ident = (-_INT64_BIG).astype(v.dtype)
+            out = jax.ops.segment_max(
+                jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
+            )
+            valid = jnp.ones(n, dtype=jnp.bool_)
+        elif op == AGG_UNIQUE:
+            # Value if the group holds exactly one distinct non-null value
+            # and no nulls; else null (aggregate.go:712 uniqueInt64arrays).
+            r = _as_sort_key(v_s)
+            big = _INT64_BIG
+            mn = jax.ops.segment_min(
+                jnp.where(sel_sorted, r, big), seg, num_segments=n
+            )
+            mx = jax.ops.segment_max(
+                jnp.where(sel_sorted, r, -big), seg, num_segments=n
+            )
+            has_null = (
+                jax.ops.segment_max(
+                    jnp.where(sel_sorted & ~va_s, jnp.int32(1), jnp.int32(0)),
+                    seg,
+                    num_segments=n,
+                )
+                > 0
+            )
+            firstv = jax.ops.segment_min(
+                jnp.where(sel_sorted, v_s, jnp.zeros_like(v_s) + ident_like(v_s)),
+                seg,
+                num_segments=n,
+            )
+            out = firstv
+            valid = (mn == mx) & ~has_null
+        elif op == AGG_AND:
+            out = (
+                jax.ops.segment_min(
+                    jnp.where(
+                        sel_sorted & va_s, v_s.astype(jnp.int8), jnp.int8(1)
+                    ),
+                    seg,
+                    num_segments=n,
+                )
+                > 0
+            )
+            valid = jnp.ones(n, dtype=jnp.bool_)
+        else:
+            raise ValueError(f"unsupported aggregation {op}")
+        agg_out_vals.append(out)
+        agg_out_valid.append(valid)
+
+    # Emit groups in first-occurrence order: reorder all group-indexed arrays
+    # by first_row (empty segments have first_row == n and sort last).
+    order = jnp.argsort(first_row, stable=True)
+    first_row_o = jnp.take(first_row, order)
+    fr = jnp.minimum(first_row_o, n - 1)
+
+    group_key_vals = tuple(jnp.take(v, fr) for v in key_vals)
+    group_key_valid = tuple(
+        jnp.take(va, fr) & (first_row_o < n) for va in key_valid
+    )
+    agg_out_vals = tuple(jnp.take(v, order) for v in agg_out_vals)
+    agg_out_valid = tuple(
+        jnp.take(v, order) & (first_row_o < n) for v in agg_out_valid
+    )
+    return (
+        num_groups,
+        first_row_o,
+        group_key_vals,
+        group_key_valid,
+        agg_out_vals,
+        agg_out_valid,
+    )
+
+
+def ident_like(v):
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        return jnp.array(jnp.inf, dtype=v.dtype)
+    return _INT64_BIG.astype(v.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def distinct_rows(key_vals, key_valid, sel):
+    """First-occurrence distinct row indices over the key tuple (reference:
+    query/physicalplan/distinct.go seen-set). Returns (num_distinct,
+    row_indices[N]) where the first num_distinct entries are the first
+    occurrence of each distinct key in stream order."""
+    num_groups, first_row, _gk, _gkv, _a, _av = group_aggregate(
+        key_vals, key_valid, (), (), sel, ()
+    )
+    return num_groups, first_row
+
+
+# ---------------------------------------------------------------------------
+# Sort / take (reference: pqarrow/arrowutils/sort.go SortRecord + Take)
+
+
+@functools.partial(jax.jit, static_argnames=("descending", "nulls_first"))
+def sort_indices_single(vals, valid, descending: bool, nulls_first: bool):
+    r = _as_sort_key(vals)
+    if descending:
+        r = -r
+    nullkey = -_INT64_BIG if nulls_first else _INT64_BIG
+    r = jnp.where(valid, r, nullkey)
+    n = vals.shape[0]
+    rowidx = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((r, rowidx), num_keys=2)
+    return perm
+
+
+@jax.jit
+def take(vals, indices):
+    return jnp.take(vals, indices)
+
+
+# ---------------------------------------------------------------------------
+# Dense-code fast path: group keys are small dictionary-code spaces combined
+# into one dense int32 code; aggregation is a single segment reduction (or a
+# one-hot MXU matmul). This is the bench hot path (SURVEY.md §7 design
+# stance: hash aggregate as dense per-chip table + two-phase psum).
+
+
+@functools.partial(jax.jit, static_argnames=("num_codes", "op"))
+def dense_group_reduce(codes, vals, sel, num_codes: int, op: str):
+    """Per-code reduction into a dense [num_codes] table."""
+    c = jnp.where(sel, codes, jnp.int32(num_codes))
+    if op == AGG_SUM:
+        return jax.ops.segment_sum(
+            jnp.where(sel, vals, jnp.zeros_like(vals)), c, num_segments=num_codes + 1
+        )[:num_codes]
+    if op == AGG_COUNT:
+        return jax.ops.segment_sum(
+            jnp.where(sel, jnp.int64(1), jnp.int64(0)), c, num_segments=num_codes + 1
+        )[:num_codes]
+    if op == AGG_MIN:
+        ident = ident_like(vals)
+        return jax.ops.segment_min(
+            jnp.where(sel, vals, ident), c, num_segments=num_codes + 1
+        )[:num_codes]
+    if op == AGG_MAX:
+        ident = -ident_like(vals)
+        return jax.ops.segment_max(
+            jnp.where(sel, vals, ident), c, num_segments=num_codes + 1
+        )[:num_codes]
+    raise ValueError(op)
