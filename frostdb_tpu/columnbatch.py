@@ -287,7 +287,10 @@ class ColumnBatch:
                 continue  # all-null: no effect on ordering
             if col.kind == KIND_DICT:
                 ranks = col.dictionary.sort_ranks()
-                key = ranks[col.values.astype(np.int64)] + 1
+                if len(ranks) == 0:
+                    key = np.zeros(len(col), dtype=np.int64)
+                else:
+                    key = ranks[col.values.astype(np.int64)] + 1
             elif col.kind == KIND_BOOL:
                 key = col.values.astype(np.int64) + 1
             elif col.kind == KIND_FLOAT64:

@@ -1,0 +1,226 @@
+"""ColumnStore / DB / transaction watermark (reference: db.go, tx_list.go).
+
+``ColumnStore`` is the process-wide store owning named DBs (db.go:86 New).
+``DB`` owns tables, the transaction counter and high watermark (snapshot
+isolation: readers see all txns <= watermark, db.go:1229-1273), the WAL and
+snapshot machinery, and object-storage sources/sinks.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable, Optional
+
+from .table import Table, TableConfig
+
+
+class TxPool:
+    """Committed-txn watermark bubbling (reference: tx_list.go:55 TxPool).
+
+    The reference keeps a lock-free list of committed txn ids and a cleaner
+    goroutine advances the watermark over consecutive ids; here a mutex-held
+    min-heap of out-of-order commits serves the same contract: the watermark
+    only advances once every txn below it has committed.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._watermark = 0
+        self._pending: set[int] = set()
+
+    def insert(self, tx: int) -> None:
+        with self._lock:
+            self._pending.add(tx)
+            while self._watermark + 1 in self._pending:
+                self._pending.discard(self._watermark + 1)
+                self._watermark += 1
+
+    def watermark(self) -> int:
+        with self._lock:
+            return self._watermark
+
+    def reset_to(self, tx: int) -> None:
+        with self._lock:
+            self._watermark = tx
+            self._pending.clear()
+
+
+class DB:
+    def __init__(
+        self,
+        store: "ColumnStore",
+        name: str,
+        wal=None,
+        sources=(),
+        sinks=(),
+        snapshot_trigger_size: int = 0,
+        snapshot_dir: Optional[str] = None,
+    ):
+        self.store = store
+        self.name = name
+        self.tables: dict[str, Table] = {}
+        self._tx_counter = 0
+        self._tx_lock = threading.Lock()
+        self.tx_pool = TxPool()
+        self.wal = wal
+        self.sources = list(sources)
+        self.sinks = list(sinks)
+        self.snapshot_trigger_size = snapshot_trigger_size
+        self.snapshot_dir = snapshot_dir
+        self._snapshot_inserts = 0
+
+    # -- transactions (reference: db.go:1229 begin/beginRead) ------------
+
+    def begin(self) -> int:
+        with self._tx_lock:
+            self._tx_counter += 1
+            return self._tx_counter
+
+    def commit(self, tx: int) -> None:
+        self.tx_pool.insert(tx)
+
+    def high_watermark(self) -> int:
+        return self.tx_pool.watermark()
+
+    def wait(self, tx: int) -> None:
+        """Block until tx is visible (reference: db.go Wait)."""
+        import time
+
+        while self.high_watermark() < tx:
+            time.sleep(0.0001)
+
+    def reset_to_txn(self, tx: int) -> None:
+        """reference: db.go:1276 resetToTxn (recovery)."""
+        with self._tx_lock:
+            self._tx_counter = max(self._tx_counter, tx)
+        self.tx_pool.reset_to(tx)
+
+    # -- tables ----------------------------------------------------------
+
+    def table(self, name: str, config: TableConfig) -> Table:
+        """Get or create (reference: db.go:1109 Table)."""
+        t = self.tables.get(name)
+        if t is not None:
+            return t
+        t = Table(self, name, config)
+        if self.store is not None and self.store.metrics is not None:
+            t.metrics = self.store.metrics.table_metrics(self.name, name)
+        tx = self.begin()
+        if self.wal is not None and not config.disable_wal:
+            self.wal.log_new_table_block(tx, name, t.active_block.id, config)
+        self.commit(tx)
+        self.tables[name] = t
+        return t
+
+    def get_table(self, name: str) -> Optional[Table]:
+        return self.tables.get(name)
+
+    def table_provider(self) -> "DBTableProvider":
+        return DBTableProvider(self)
+
+    # -- durability hooks -------------------------------------------------
+
+    def maybe_snapshot(self, table: Table) -> None:
+        if not self.snapshot_trigger_size or self.snapshot_dir is None:
+            return
+        size = sum(t.active_block.size() for t in self.tables.values())
+        if size - self._snapshot_inserts >= self.snapshot_trigger_size:
+            from .snapshot import write_snapshot
+
+            write_snapshot(self, self.snapshot_dir)
+            self._snapshot_inserts = size
+
+    def maintain_wal(self) -> None:
+        """Truncate the WAL below the persisted watermark (reference:
+        db.go:1015 maintainWAL)."""
+        if self.wal is None:
+            return
+        # Conservative: only truncate on explicit snapshot for now.
+
+    def close(self) -> None:
+        if self.wal is not None:
+            self.wal.close()
+
+
+class DBTableProvider:
+    """reference: db.go:1190 TableProvider."""
+
+    def __init__(self, db: DB):
+        self.db = db
+
+    def get_table(self, name: str):
+        return self.db.get_table(name)
+
+
+class ColumnStore:
+    """reference: db.go:86 New."""
+
+    def __init__(
+        self,
+        storage_path: Optional[str] = None,
+        enable_wal: bool = False,
+        snapshot_trigger_size: int = 0,
+        sources=(),
+        sinks=(),
+        metrics=None,
+    ):
+        self.storage_path = storage_path
+        self.enable_wal = enable_wal
+        self.snapshot_trigger_size = snapshot_trigger_size
+        self.sources = list(sources)
+        self.sinks = list(sinks)
+        self.dbs: dict[str, DB] = {}
+        if metrics is None:
+            from .metrics import MetricsRegistry
+
+            metrics = MetricsRegistry()
+        self.metrics = metrics
+
+    def db_path(self, name: str) -> Optional[str]:
+        if self.storage_path is None:
+            return None
+        return os.path.join(self.storage_path, "databases", name)
+
+    def db(self, name: str) -> DB:
+        """Open or create a database, replaying durable state (reference:
+        db.go:402 DB + db.go:670 recover)."""
+        d = self.dbs.get(name)
+        if d is not None:
+            return d
+
+        wal = None
+        snapshot_dir = None
+        path = self.db_path(name)
+        if path is not None:
+            os.makedirs(path, exist_ok=True)
+            snapshot_dir = os.path.join(path, "snapshots")
+        if self.enable_wal and path is not None:
+            from .wal import FileWAL
+
+            wal = FileWAL(os.path.join(path, "wal"))
+
+        d = DB(
+            self,
+            name,
+            wal=wal,
+            sources=self.sources,
+            sinks=self.sinks,
+            snapshot_trigger_size=self.snapshot_trigger_size,
+            snapshot_dir=snapshot_dir,
+        )
+        self.dbs[name] = d
+
+        if path is not None:
+            from .recovery import recover_db
+
+            recover_db(d, path)
+        return d
+
+    def close(self) -> None:
+        for d in self.dbs.values():
+            d.close()
+
+
+def New(**kwargs) -> ColumnStore:
+    return ColumnStore(**kwargs)

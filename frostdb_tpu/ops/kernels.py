@@ -150,51 +150,47 @@ def _as_sort_key(vals) -> jax.Array:
     return vals.astype(jnp.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("agg_ops",))
-def group_aggregate(key_vals, key_valid, agg_vals, agg_valid, sel, agg_ops):
-    """Exact grouped aggregation.
+@jax.jit
+def group_ids(key_vals, key_valid, sel):
+    """Exact grouping pass, shared by aggregation and distinct.
 
-    Args:
-      key_vals:  tuple of [N] arrays (group key columns).
-      key_valid: tuple of [N] bool arrays.
-      agg_vals:  tuple of [N] arrays (aggregated value columns).
-      agg_valid: tuple of [N] bool arrays.
-      sel:       [N] bool — selected rows (filter mask & non-padding).
-      agg_ops:   static tuple of op names per agg column.
+    Sorts selected rows to the front grouped by the key tuple (stable by
+    original row index), derives segment boundaries and first-occurrence
+    ordering. Compiled once per (number of keys, padded size) — the
+    per-aggregation reductions are separate kernels (``segment_agg``) so new
+    query shapes reuse this compilation.
 
-    Returns (num_groups, first_row, group_key_vals, group_key_valid,
-    agg_out_vals, agg_out_valid); all arrays have length N, valid entries are
-    the first ``num_groups``, ordered by first occurrence in the stream.
+    Returns (num_groups, perm, sel_sorted, seg, order, first_row_ordered):
+      - perm[i]: original row index of sorted position i
+      - seg[i]: segment (group) id of sorted position i (key-sorted order)
+      - order[g_out] = key-order group id emitted at output position g_out
+        (output positions are first-occurrence order)
+      - first_row_ordered[g_out]: first original row of that group (== n for
+        positions beyond num_groups)
     """
     n = sel.shape[0]
     rowidx = jnp.arange(n, dtype=jnp.int32)
 
-    # Sort selected rows to the front, grouped by the key tuple, stable by
-    # original row index (rowidx participates as the final key).
     operands = [(~sel).astype(jnp.int8)]
-    key_reprs = []
     for v, va in zip(key_vals, key_valid):
         r = jnp.where(va & sel, _as_sort_key(v), jnp.int64(0))
         knull = jnp.where(va & sel, jnp.int8(1), jnp.int8(0))
-        key_reprs.append((knull, r))
         operands.extend([knull, r])
     operands.append(rowidx)
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=len(operands))
     perm = sorted_ops[-1]
     sel_sorted = sorted_ops[0] == 0
 
-    # Segment boundaries: any component of the key changes.
     def diffs(arr):
         return jnp.concatenate(
             [jnp.ones((1,), dtype=jnp.bool_), arr[1:] != arr[:-1]]
         )
 
-    changed = jnp.zeros(n, dtype=jnp.bool_)
-    i = 1
-    for _knull, _r in key_reprs:
-        changed = changed | diffs(sorted_ops[i]) | diffs(sorted_ops[i + 1])
-        i += 2
-    if not key_reprs:
+    if len(key_vals) > 0:
+        changed = jnp.zeros(n, dtype=jnp.bool_)
+        for arr in sorted_ops[1:-1]:
+            changed = changed | diffs(arr)
+    else:
         changed = jnp.concatenate(
             [jnp.ones((1,), dtype=jnp.bool_), jnp.zeros((n - 1,), dtype=jnp.bool_)]
         )
@@ -202,114 +198,14 @@ def group_aggregate(key_vals, key_valid, agg_vals, agg_valid, sel, agg_ops):
     num_groups = boundary.sum()
     seg = jnp.maximum(jnp.cumsum(boundary.astype(jnp.int32)) - 1, 0)
 
-    # First-occurrence row per group (rows within a segment are in ascending
-    # original order thanks to the rowidx sort key).
+    # First original row per group; rows within a segment are in ascending
+    # original order thanks to the rowidx sort key.
     first_row = jax.ops.segment_min(
         jnp.where(sel_sorted, perm, jnp.int32(n)), seg, num_segments=n
     )
-
-    agg_out_vals = []
-    agg_out_valid = []
-    for (v, va), op in zip(zip(agg_vals, agg_valid), agg_ops):
-        v_s = jnp.take(v, perm)
-        va_s = jnp.take(va, perm)
-        if op == AGG_SUM:
-            # Null slots hold zero, matching the reference's raw-buffer sum
-            # (aggregate.go:763 math.Int64.Sum includes null slots).
-            out = jax.ops.segment_sum(
-                jnp.where(sel_sorted, v_s, jnp.zeros_like(v_s)), seg, num_segments=n
-            )
-            valid = jnp.ones(n, dtype=jnp.bool_)
-        elif op == AGG_COUNT:
-            # Counts all rows in the group including nulls
-            # (aggregate.go:934 CountAggregation appends arr.Len()).
-            out = jax.ops.segment_sum(
-                jnp.where(sel_sorted, jnp.int64(1), jnp.int64(0)), seg, num_segments=n
-            )
-            valid = jnp.ones(n, dtype=jnp.bool_)
-        elif op == AGG_MIN:
-            if jnp.issubdtype(v.dtype, jnp.floating):
-                ident = jnp.array(jnp.inf, dtype=v.dtype)
-            else:
-                ident = _INT64_BIG.astype(v.dtype)
-            out = jax.ops.segment_min(
-                jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
-            )
-            valid = jnp.ones(n, dtype=jnp.bool_)
-        elif op == AGG_MAX:
-            if jnp.issubdtype(v.dtype, jnp.floating):
-                ident = jnp.array(-jnp.inf, dtype=v.dtype)
-            else:
-                ident = (-_INT64_BIG).astype(v.dtype)
-            out = jax.ops.segment_max(
-                jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
-            )
-            valid = jnp.ones(n, dtype=jnp.bool_)
-        elif op == AGG_UNIQUE:
-            # Value if the group holds exactly one distinct non-null value
-            # and no nulls; else null (aggregate.go:712 uniqueInt64arrays).
-            r = _as_sort_key(v_s)
-            big = _INT64_BIG
-            mn = jax.ops.segment_min(
-                jnp.where(sel_sorted, r, big), seg, num_segments=n
-            )
-            mx = jax.ops.segment_max(
-                jnp.where(sel_sorted, r, -big), seg, num_segments=n
-            )
-            has_null = (
-                jax.ops.segment_max(
-                    jnp.where(sel_sorted & ~va_s, jnp.int32(1), jnp.int32(0)),
-                    seg,
-                    num_segments=n,
-                )
-                > 0
-            )
-            firstv = jax.ops.segment_min(
-                jnp.where(sel_sorted, v_s, jnp.zeros_like(v_s) + ident_like(v_s)),
-                seg,
-                num_segments=n,
-            )
-            out = firstv
-            valid = (mn == mx) & ~has_null
-        elif op == AGG_AND:
-            out = (
-                jax.ops.segment_min(
-                    jnp.where(
-                        sel_sorted & va_s, v_s.astype(jnp.int8), jnp.int8(1)
-                    ),
-                    seg,
-                    num_segments=n,
-                )
-                > 0
-            )
-            valid = jnp.ones(n, dtype=jnp.bool_)
-        else:
-            raise ValueError(f"unsupported aggregation {op}")
-        agg_out_vals.append(out)
-        agg_out_valid.append(valid)
-
-    # Emit groups in first-occurrence order: reorder all group-indexed arrays
-    # by first_row (empty segments have first_row == n and sort last).
     order = jnp.argsort(first_row, stable=True)
     first_row_o = jnp.take(first_row, order)
-    fr = jnp.minimum(first_row_o, n - 1)
-
-    group_key_vals = tuple(jnp.take(v, fr) for v in key_vals)
-    group_key_valid = tuple(
-        jnp.take(va, fr) & (first_row_o < n) for va in key_valid
-    )
-    agg_out_vals = tuple(jnp.take(v, order) for v in agg_out_vals)
-    agg_out_valid = tuple(
-        jnp.take(v, order) & (first_row_o < n) for v in agg_out_valid
-    )
-    return (
-        num_groups,
-        first_row_o,
-        group_key_vals,
-        group_key_valid,
-        agg_out_vals,
-        agg_out_valid,
-    )
+    return num_groups, perm, sel_sorted, seg, order, first_row_o
 
 
 def ident_like(v):
@@ -318,16 +214,112 @@ def ident_like(v):
     return _INT64_BIG.astype(v.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("op",))
+def segment_agg(vals, valid, perm, sel_sorted, seg, order, op: str):
+    """One aggregation over the segments produced by ``group_ids``. Returns
+    (out[N], valid[N]) in first-occurrence output order. Compiled once per
+    (op, dtype, padded size)."""
+    n = sel_sorted.shape[0]
+    v_s = jnp.take(vals, perm)
+    va_s = jnp.take(valid, perm)
+    if op == AGG_SUM:
+        # Null slots hold zero, matching the reference's raw-buffer sum
+        # (aggregate.go:763 math.Int64.Sum includes null slots).
+        out = jax.ops.segment_sum(
+            jnp.where(sel_sorted, v_s, jnp.zeros_like(v_s)), seg, num_segments=n
+        )
+        valid_out = jnp.ones(n, dtype=jnp.bool_)
+    elif op == AGG_COUNT:
+        # Counts all rows in the group including nulls (aggregate.go:934).
+        out = jax.ops.segment_sum(
+            jnp.where(sel_sorted, jnp.int64(1), jnp.int64(0)), seg, num_segments=n
+        )
+        valid_out = jnp.ones(n, dtype=jnp.bool_)
+    elif op == AGG_MIN:
+        ident = ident_like(v_s)
+        out = jax.ops.segment_min(
+            jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
+        )
+        valid_out = jnp.ones(n, dtype=jnp.bool_)
+    elif op == AGG_MAX:
+        ident = -ident_like(v_s)
+        out = jax.ops.segment_max(
+            jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
+        )
+        valid_out = jnp.ones(n, dtype=jnp.bool_)
+    elif op == AGG_UNIQUE:
+        # Value if the group holds exactly one distinct non-null value and no
+        # nulls; else null (aggregate.go:712 uniqueInt64arrays).
+        r = _as_sort_key(v_s)
+        big = _INT64_BIG
+        mn = jax.ops.segment_min(jnp.where(sel_sorted, r, big), seg, num_segments=n)
+        mx = jax.ops.segment_max(jnp.where(sel_sorted, r, -big), seg, num_segments=n)
+        has_null = (
+            jax.ops.segment_max(
+                jnp.where(sel_sorted & ~va_s, jnp.int32(1), jnp.int32(0)),
+                seg,
+                num_segments=n,
+            )
+            > 0
+        )
+        out = jax.ops.segment_min(
+            jnp.where(sel_sorted, v_s, jnp.zeros_like(v_s) + ident_like(v_s)),
+            seg,
+            num_segments=n,
+        )
+        valid_out = (mn == mx) & ~has_null
+    elif op == AGG_AND:
+        out = (
+            jax.ops.segment_min(
+                jnp.where(sel_sorted & va_s, v_s.astype(jnp.int8), jnp.int8(1)),
+                seg,
+                num_segments=n,
+            )
+            > 0
+        )
+        valid_out = jnp.ones(n, dtype=jnp.bool_)
+    else:
+        raise ValueError(f"unsupported aggregation {op}")
+    return jnp.take(out, order), jnp.take(valid_out, order)
+
+
+def group_aggregate(key_vals, key_valid, agg_vals, agg_valid, sel, agg_ops):
+    """Exact grouped aggregation: ``group_ids`` + per-op ``segment_agg``.
+
+    Returns (num_groups, first_row, group_key_vals, group_key_valid,
+    agg_out_vals, agg_out_valid); arrays have length N, valid entries are the
+    first num_groups, ordered by first occurrence in the stream."""
+    n = sel.shape[0]
+    num_groups, perm, sel_sorted, seg, order, first_row_o = group_ids(
+        tuple(key_vals), tuple(key_valid), sel
+    )
+    fr = jnp.minimum(first_row_o, n - 1)
+    group_key_vals = tuple(jnp.take(v, fr) for v in key_vals)
+    group_key_valid = tuple(jnp.take(va, fr) & (first_row_o < n) for va in key_valid)
+    outs = []
+    valids = []
+    for (v, va), op in zip(zip(agg_vals, agg_valid), agg_ops):
+        o, vo = segment_agg(v, va, perm, sel_sorted, seg, order, op)
+        outs.append(o)
+        valids.append(vo & (first_row_o < n))
+    return (
+        num_groups,
+        first_row_o,
+        group_key_vals,
+        group_key_valid,
+        tuple(outs),
+        tuple(valids),
+    )
+
+
 def distinct_rows(key_vals, key_valid, sel):
     """First-occurrence distinct row indices over the key tuple (reference:
     query/physicalplan/distinct.go seen-set). Returns (num_distinct,
-    row_indices[N]) where the first num_distinct entries are the first
-    occurrence of each distinct key in stream order."""
-    num_groups, first_row, _gk, _gkv, _a, _av = group_aggregate(
-        key_vals, key_valid, (), (), sel, ()
+    row_indices[N])."""
+    num_groups, _perm, _ss, _seg, _order, first_row_o = group_ids(
+        tuple(key_vals), tuple(key_valid), sel
     )
-    return num_groups, first_row
+    return num_groups, first_row_o
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""Query engine facade (reference: query/engine.go).
+
+``LocalEngine.scan_table(name)`` returns a fluent ``LocalQueryBuilder``
+mirroring the reference's Builder API (engine.go:48-196): Aggregate / Filter
+/ Distinct / Project / Limit / Sample / Execute / Explain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from . import expr as E
+from .logical import Builder, LogicalPlan
+from .optimize import optimize
+from .physical import ExecOptions, build_physical
+from ..columnbatch import ColumnBatch
+from ..memorylimit import LimitAllocator
+
+
+class LocalEngine:
+    def __init__(
+        self,
+        table_provider,
+        exec_options: ExecOptions | None = None,
+        allocator: LimitAllocator | None = None,
+    ):
+        self.table_provider = table_provider
+        self.exec_options = exec_options or ExecOptions()
+        self.allocator = allocator
+
+    def scan_table(self, name: str) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(
+            self, Builder().scan(self.table_provider, name)
+        )
+
+    def scan_schema(self, name: str) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(
+            self, Builder().schema_scan(self.table_provider, name)
+        )
+
+
+def NewEngine(table_provider, **kwargs) -> LocalEngine:
+    return LocalEngine(table_provider, **kwargs)
+
+
+class LocalQueryBuilder:
+    def __init__(self, engine: LocalEngine, builder: Builder):
+        self.engine = engine
+        self.builder = builder
+
+    def aggregate(
+        self,
+        agg_exprs: Sequence[E.AggregationFunction],
+        group_exprs: Sequence[E.Expr],
+    ) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(
+            self.engine, self.builder.aggregate(agg_exprs, group_exprs)
+        )
+
+    def filter(self, expr: E.Expr) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(self.engine, self.builder.filter(expr))
+
+    def distinct(self, *exprs: E.Expr) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(self.engine, self.builder.distinct(*exprs))
+
+    def project(self, *exprs: E.Expr) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(self.engine, self.builder.project(*exprs))
+
+    def limit(self, expr: E.Expr) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(self.engine, self.builder.limit(expr))
+
+    def sample(self, size: E.Expr, limit: E.Expr) -> "LocalQueryBuilder":
+        return LocalQueryBuilder(self.engine, self.builder.sample(size, limit))
+
+    def _build_physical(self):
+        plan = self.builder.build()
+        plan = optimize(plan)
+        return build_physical(plan, self.engine.exec_options)
+
+    def execute(self, callback: Callable[[ColumnBatch], None]) -> None:
+        output = self._build_physical()
+        output.execute(callback)
+
+    def explain(self) -> str:
+        output = self._build_physical()
+        return output.draw_string()

@@ -1,0 +1,750 @@
+"""Physical plan: push-based operator DAG + planner + explain diagrams.
+
+Reference: query/physicalplan/physicalplan.go. Operators implement
+``callback(batch)`` / ``finish()`` / ``set_next`` / ``draw`` exactly like the
+reference's PhysicalPlan interface (physicalplan.go:24-30). The planner
+(``build_physical``) performs the same post-order walk with scan fan-out,
+synchronizer barriers, two-phase aggregation and limit-of-limits /
+distinct-of-distincts final stages (physicalplan.go:287-516), so the explain
+diagrams are string-identical to the reference's plan logictest goldens.
+
+Execution semantics: operator chains are logical lanes. On a single host the
+scan pushes every batch down lane 0 (deterministic stream order — the
+reference achieves per-stream determinism only for single-record scans and
+marks multi-record tests "unordered"); on a TPU mesh each lane maps to a
+device shard and the Synchronizer barrier becomes a collective (see
+parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from . import expr as E
+from .logical import LogicalPlan
+from .physeval import EvalError, filter_mask, project_expr, _eval_value
+from ..columnbatch import Column, ColumnBatch, Dictionary, concat_batches
+from ..columnbatch import KIND_BOOL, KIND_DICT, KIND_FLOAT64, KIND_INT64
+from ..ops import kernels as K
+
+
+class Diagram:
+    def __init__(self, details: str, child: Optional["Diagram"] = None):
+        self.details = details
+        self.child = child
+
+    def string(self) -> str:
+        if self.child is None:
+            return self.details
+        child = self.child.string()
+        if not child:
+            return self.details
+        return f"{self.details} - {child}"
+
+
+class PhysicalOperator:
+    def __init__(self):
+        self.next: Optional[PhysicalOperator] = None
+
+    def set_next(self, nxt: "PhysicalOperator") -> None:
+        self.next = nxt
+
+    def callback(self, batch: ColumnBatch) -> None:
+        raise NotImplementedError
+
+    def finish(self) -> None:
+        if self.next is not None:
+            self.next.finish()
+
+    def close(self) -> None:
+        if self.next is not None:
+            self.next.close()
+
+    def draw(self) -> Diagram:
+        raise NotImplementedError
+
+
+class NoopOperator(PhysicalOperator):
+    """reference: physicalplan.go noopOperator."""
+
+    def callback(self, batch: ColumnBatch) -> None:
+        if self.next is not None:
+            self.next.callback(batch)
+
+    def draw(self) -> Diagram:
+        if self.next is not None:
+            return self.next.draw()
+        return Diagram("")
+
+
+class OutputPlan(PhysicalOperator):
+    """Terminal operator delivering batches to the user callback
+    (reference: physicalplan.go:40 OutputPlan)."""
+
+    def __init__(self):
+        super().__init__()
+        self.scan = None
+        self._callback: Optional[Callable[[ColumnBatch], None]] = None
+
+    def set_next_callback(self, cb) -> None:
+        self._callback = cb
+
+    def callback(self, batch: ColumnBatch) -> None:
+        if self._callback is not None and batch.num_rows >= 0:
+            self._callback(batch)
+
+    def finish(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def draw(self) -> Diagram:
+        return Diagram("")
+
+    def draw_string(self) -> str:
+        return self.scan.draw().string()
+
+    def execute(self, callback) -> None:
+        self._callback = callback
+        self.scan.execute()
+
+
+# ---------------------------------------------------------------------------
+# Scans
+
+
+def _lit_value(e: E.Expr):
+    if isinstance(e, E.Literal):
+        return e.value
+    raise EvalError(f"expected literal, got {e!r}")
+
+
+class TableScanExec:
+    def __init__(self, options, plans: list[PhysicalOperator]):
+        self.options = options
+        self.plans = plans
+
+    def draw(self) -> Diagram:
+        details = "TableScan"
+        child = None
+        if self.plans:
+            child = self.plans[0].draw()
+            if len(self.plans) > 1:
+                details += " [concurrent]"
+        return Diagram(details, child)
+
+    def execute(self) -> None:
+        table = self.options.provider.get_table(self.options.table_name)
+        if table is None:
+            raise RuntimeError(f"table not found: {self.options.table_name}")
+        try:
+
+            def run(tx):
+                table.iterator(
+                    tx,
+                    [p.callback for p in self.plans],
+                    physical_projection=self.options.physical_projection,
+                    filter=self.options.filter,
+                    distinct_columns=self.options.distinct_columns,
+                    projection=self.options.projection,
+                )
+
+            table.view(run)
+            for p in self.plans:
+                p.finish()
+        finally:
+            for p in self.plans:
+                p.close()
+
+
+class SchemaScanExec:
+    def __init__(self, options, plans: list[PhysicalOperator]):
+        self.options = options
+        self.plans = plans
+
+    def draw(self) -> Diagram:
+        details = "SchemaScan"
+        child = None
+        if self.plans:
+            child = self.plans[0].draw()
+            if len(self.plans) > 1:
+                details += " [concurrent]"
+        return Diagram(details, child)
+
+    def execute(self) -> None:
+        table = self.options.provider.get_table(self.options.table_name)
+        if table is None:
+            raise RuntimeError(f"table not found: {self.options.table_name}")
+        try:
+
+            def run(tx):
+                table.schema_iterator(
+                    tx,
+                    [p.callback for p in self.plans],
+                    filter=self.options.filter,
+                )
+
+            table.view(run)
+            for p in self.plans:
+                p.finish()
+        finally:
+            for p in self.plans:
+                p.close()
+
+
+# ---------------------------------------------------------------------------
+# Filter
+
+
+def _physical_filter_string(expr: E.Expr) -> str:
+    """Physical BooleanExpression String (reference: AndExpr/OrExpr String
+    filter.go:192,217; BinaryScalarExpr String binaryscalarexpr.go:78;
+    RegExpFilter String regexpfilter.go:42)."""
+    if isinstance(expr, E.BinaryExpr):
+        if expr.op == E.OP_AND:
+            return (
+                "("
+                + _physical_filter_string(expr.left)
+                + " AND "
+                + _physical_filter_string(expr.right)
+                + ")"
+            )
+        if expr.op == E.OP_OR:
+            return (
+                "("
+                + _physical_filter_string(expr.left)
+                + " OR "
+                + _physical_filter_string(expr.right)
+                + ")"
+            )
+        left = expr.left.name()
+        if expr.op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
+            pat = expr.right.name()
+            sym = "=~" if expr.op == E.OP_REGEX_MATCH else "!~"
+            return f'{left} {sym} "{pat}"'
+        return f"{left} {expr.op} {expr.right.name()}"
+    return expr.name()
+
+
+class PredicateFilter(PhysicalOperator):
+    """reference: query/physicalplan/filter.go PredicateFilter. Evaluates the
+    predicate to a row mask and materializes matching rows."""
+
+    def __init__(self, expr: E.Expr):
+        super().__init__()
+        self.expr = expr
+
+    def callback(self, batch: ColumnBatch) -> None:
+        mask = filter_mask(batch, self.expr)
+        if not mask.any():
+            return  # empty results are not propagated (filter.go:276)
+        filtered = batch.select_mask(mask)
+        self.next.callback(filtered)
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        return Diagram(
+            f"PredicateFilter ({_physical_filter_string(self.expr)})", child
+        )
+
+
+# ---------------------------------------------------------------------------
+# Projection
+
+
+class Projection(PhysicalOperator):
+    """reference: query/physicalplan/project.go."""
+
+    def __init__(self, exprs: Sequence[E.Expr]):
+        super().__init__()
+        self.exprs = list(exprs)
+
+    def callback(self, batch: ColumnBatch) -> None:
+        cols: list[Column] = []
+        seen: set[str] = set()
+        for e in self.exprs:
+            for c in project_expr(batch, e):
+                if c.name in seen:
+                    continue
+                seen.add(c.name)
+                cols.append(c)
+        self.next.callback(ColumnBatch(cols, batch.num_rows))
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        details = "Projection (" + ", ".join(str(e) for e in self.exprs) + ")"
+        return Diagram(details, child)
+
+
+# ---------------------------------------------------------------------------
+# Synchronizer
+
+
+class Synchronizer(PhysicalOperator):
+    """Unordered fan-in barrier (reference: synchronize.go:16). Single-host
+    execution is sequential, so this just counts lane finishes and cascades
+    the last one."""
+
+    def __init__(self, arity: int):
+        super().__init__()
+        self.arity = arity
+        self._finished = 0
+        self._closed = 0
+
+    def callback(self, batch: ColumnBatch) -> None:
+        self.next.callback(batch)
+
+    def finish(self) -> None:
+        self._finished += 1
+        if self._finished == self.arity:
+            self.next.finish()
+
+    def close(self) -> None:
+        self._closed += 1
+        if self._closed == self.arity:
+            self.next.close()
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        return Diagram("Synchronizer", child)
+
+
+# ---------------------------------------------------------------------------
+# Batch unification (reference: pqarrow/arrowutils/schema.go EnsureSameSchema)
+
+
+def unify_concat(batches: list[ColumnBatch]) -> ColumnBatch:
+    """Concatenate batches, backfilling missing columns with virtual nulls,
+    columns ordered alphabetically."""
+    if len(batches) == 1:
+        return batches[0]
+    specs: dict[str, tuple[str, Dictionary | None]] = {}
+    for b in batches:
+        for c in b.columns:
+            if c.name not in specs:
+                specs[c.name] = (c.kind, c.dictionary)
+    names = sorted(specs)
+    conformed = []
+    for b in batches:
+        cols = []
+        for name in names:
+            kind, d = specs[name]
+            c = b.column(name)
+            if c is None:
+                c = Column.all_null(name, kind, b.num_rows, d)
+            cols.append(c)
+        conformed.append(ColumnBatch(cols, b.num_rows))
+    return concat_batches(conformed)
+
+
+# ---------------------------------------------------------------------------
+# Hash aggregation
+
+
+_FINAL_AGG_FUNC = {
+    # Final-stage re-aggregation of partials (reference: aggregate.go
+    # runAggregation chooses sum for count in the final stage).
+    E.AGG_SUM: K.AGG_SUM,
+    E.AGG_COUNT: K.AGG_SUM,
+    E.AGG_MIN: K.AGG_MIN,
+    E.AGG_MAX: K.AGG_MAX,
+    E.AGG_UNIQUE: K.AGG_UNIQUE,
+    E.AGG_AND: K.AGG_AND,
+}
+
+_PARTIAL_AGG_FUNC = {
+    E.AGG_SUM: K.AGG_SUM,
+    E.AGG_COUNT: K.AGG_COUNT,
+    E.AGG_MIN: K.AGG_MIN,
+    E.AGG_MAX: K.AGG_MAX,
+    E.AGG_UNIQUE: K.AGG_UNIQUE,
+    E.AGG_AND: K.AGG_AND,
+}
+
+
+class HashAggregate(PhysicalOperator):
+    """Grouped aggregation (reference: aggregate.go HashAggregate).
+
+    Accumulates input batches, then runs the exact sort+segment group kernel
+    once over the unified stream — groups are emitted in first-occurrence
+    stream order, matching the reference's insertion-ordered group map.
+    """
+
+    def __init__(self, aggregations, group_exprs, final_stage: bool):
+        super().__init__()
+        # aggregations: list of (func, inner_expr, result_name); duplicates
+        # preserved for draw parity, deduped for execution (the reference
+        # dedups in the final stage, aggregate.go:973).
+        self.aggregations = list(aggregations)
+        self.group_exprs = list(group_exprs)
+        self.final_stage = final_stage
+        self._batches: list[ColumnBatch] = []
+
+    def callback(self, batch: ColumnBatch) -> None:
+        self._batches.append(batch)
+
+    def finish(self) -> None:
+        out = self._aggregate()
+        if out is not None:
+            self.next.callback(out)
+        self.next.finish()
+
+    def _aggregate(self) -> Optional[ColumnBatch]:
+        if not self._batches:
+            return None
+        batch = unify_concat(self._batches)
+        self._batches = []
+        n = batch.num_rows
+        if n == 0:
+            return None
+
+        # Resolve group key columns.
+        group_cols: list[Column] = []
+        seen: set[str] = set()
+        for ge in self.group_exprs:
+            matched = [
+                c
+                for c in batch.columns
+                if ge.matches_column(c.name) and c.name not in seen
+            ]
+            if isinstance(ge, E.DurationExpr):
+                # Window key: timestamp truncated to the window size.
+                ts = batch.column("timestamp")
+                if ts is not None:
+                    w = self.milliseconds_window(ge)
+                    vals = (ts.values // w) * w
+                    matched = [Column("timestamp", KIND_INT64, vals, ts.validity)]
+            for c in matched:
+                seen.add(c.name)
+                group_cols.append(c)
+
+        # Resolve aggregation inputs (dedup by result name).
+        agg_specs = []
+        seen_aggs = set()
+        for func, inner, result_name in self.aggregations:
+            if result_name in seen_aggs:
+                continue
+            seen_aggs.add(result_name)
+            src = batch.column(result_name) if self.final_stage else None
+            if src is None:
+                src = _eval_value(batch, inner)
+            if src is None:
+                src = Column.all_null(result_name, KIND_INT64, n)
+            agg_specs.append((func, src, result_name))
+
+        from ..device import DeviceBatch
+
+        dev = DeviceBatch(batch)
+        sel = dev.row_valid_mask()
+        key_vals = []
+        key_valid = []
+        for c in group_cols:
+            dc = dev.column(c.name) if batch.column(c.name) is c else dev._upload(c)
+            key_vals.append(dc.data)
+            key_valid.append(dc.validity)
+        agg_vals = []
+        agg_valid = []
+        ops = []
+        for func, src, _rn in agg_specs:
+            if batch.column(src.name) is src:
+                dc = dev.column(src.name)
+            else:
+                dc = dev._upload(src)
+            agg_vals.append(dc.data)
+            agg_valid.append(dc.validity)
+            table = _FINAL_AGG_FUNC if self.final_stage else _PARTIAL_AGG_FUNC
+            ops.append(table[func])
+
+        ng, _first, gk, gkv, av, avv = K.group_aggregate(
+            tuple(key_vals),
+            tuple(key_valid),
+            tuple(agg_vals),
+            tuple(agg_valid),
+            sel,
+            tuple(ops),
+        )
+        ng = int(ng)
+
+        out_cols: list[Column] = []
+        for c, v, va in zip(group_cols, gk, gkv):
+            out_cols.append(
+                Column(
+                    c.name,
+                    c.kind,
+                    np.asarray(v)[:ng].astype(c.values.dtype),
+                    np.asarray(va)[:ng],
+                    c.dictionary,
+                )
+            )
+        for (func, src, result_name), v, va in zip(agg_specs, av, avv):
+            kind = src.kind
+            vals = np.asarray(v)[:ng]
+            if func == E.AGG_COUNT:
+                kind = KIND_INT64
+                vals = vals.astype(np.int64)
+            elif func == E.AGG_AND:
+                kind = KIND_BOOL
+                vals = vals.astype(np.bool_)
+            else:
+                vals = vals.astype(src.values.dtype)
+            out_cols.append(Column(result_name, kind, vals, np.asarray(va)[:ng]))
+        return ColumnBatch(out_cols, ng)
+
+    @staticmethod
+    def milliseconds_window(ge: E.DurationExpr) -> int:
+        return max(ge.milliseconds, 1)
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        names = ",".join(rn for _f, _e, rn in self.aggregations)
+        groupings = ",".join(g.name() for g in self.group_exprs)
+        return Diagram(f"HashAggregate ({names} by {groupings})", child)
+
+
+def make_aggregate(aggregation, final_stage: bool) -> HashAggregate:
+    aggs = []
+    for agg in aggregation.agg_exprs:
+        aggs.append((agg.func, agg.expr, agg.name()))
+    return HashAggregate(aggs, aggregation.group_exprs, final_stage)
+
+
+# ---------------------------------------------------------------------------
+# Distinct
+
+
+class Distinction(PhysicalOperator):
+    """reference: query/physicalplan/distinct.go."""
+
+    def __init__(self, exprs: Sequence[E.Expr]):
+        super().__init__()
+        self.exprs = list(exprs)
+        self._batches: list[ColumnBatch] = []
+
+    def callback(self, batch: ColumnBatch) -> None:
+        self._batches.append(batch)
+
+    def finish(self) -> None:
+        out = self._distinct()
+        if out is not None and out.num_rows > 0:
+            self.next.callback(out)
+        self.next.finish()
+
+    def _distinct(self) -> Optional[ColumnBatch]:
+        if not self._batches:
+            return None
+        batch = unify_concat(self._batches)
+        self._batches = []
+        if batch.num_rows == 0:
+            return None
+
+        cols: list[Column] = []
+        seen: set[str] = set()
+        for e in self.exprs:
+            for c in project_expr(batch, e):
+                if c.name not in seen:
+                    seen.add(c.name)
+                    cols.append(c)
+        if not cols:
+            return None
+
+        from ..device import DeviceBatch
+
+        key_batch = ColumnBatch(cols, batch.num_rows)
+        dev = DeviceBatch(key_batch)
+        sel = dev.row_valid_mask()
+        key_vals = []
+        key_valid = []
+        for c in cols:
+            dc = dev.column(c.name)
+            key_vals.append(dc.data)
+            key_valid.append(dc.validity)
+        ng, rows = K.distinct_rows(tuple(key_vals), tuple(key_valid), sel)
+        ng = int(ng)
+        idx = np.asarray(rows)[:ng]
+        return key_batch.take(idx)
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        columns = ",".join(e.name() for e in self.exprs)
+        return Diagram(f"Distinction ({columns})", child)
+
+
+# ---------------------------------------------------------------------------
+# Limit
+
+
+class Limiter(PhysicalOperator):
+    """reference: query/physicalplan/limit.go."""
+
+    def __init__(self, limit: int):
+        super().__init__()
+        self.limit = limit
+        self._remaining = limit
+
+    def callback(self, batch: ColumnBatch) -> None:
+        if self._remaining <= 0:
+            return
+        if batch.num_rows <= self._remaining:
+            self._remaining -= batch.num_rows
+            self.next.callback(batch)
+        else:
+            self.next.callback(batch.slice(0, self._remaining))
+            self._remaining = 0
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        return Diagram(f"Limit({self.limit})", child)
+
+
+# ---------------------------------------------------------------------------
+# Reservoir sampler (reference: query/physicalplan/sampler.go, Algorithm L)
+
+
+class ReservoirSampler(PhysicalOperator):
+    def __init__(self, size: int, byte_limit: int, seed: int = 0):
+        super().__init__()
+        self.size = size
+        self.byte_limit = byte_limit
+        self._rng = np.random.default_rng(seed if seed else None)
+        self._rows: list[tuple[ColumnBatch, int]] = []
+        self._n_seen = 0
+        self._w = np.exp(np.log(self._rng.random()) / max(size, 1))
+        self._next_i = size + int(
+            np.floor(np.log(self._rng.random()) / np.log(1 - self._w))
+        ) + 1
+
+    def callback(self, batch: ColumnBatch) -> None:
+        for i in range(batch.num_rows):
+            self._n_seen += 1
+            if len(self._rows) < self.size:
+                self._rows.append((batch, i))
+            elif self._n_seen == self._next_i:
+                j = self._rng.integers(0, self.size)
+                self._rows[j] = (batch, i)
+                self._w *= np.exp(np.log(self._rng.random()) / self.size)
+                self._next_i += (
+                    int(np.floor(np.log(self._rng.random()) / np.log(1 - self._w))) + 1
+                )
+
+    def finish(self) -> None:
+        by_batch: dict[int, tuple[ColumnBatch, list[int]]] = {}
+        for b, i in self._rows:
+            by_batch.setdefault(id(b), (b, []))[1].append(i)
+        for b, idxs in by_batch.values():
+            self.next.callback(b.take(np.asarray(sorted(idxs), dtype=np.int64)))
+        self.next.finish()
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        return Diagram(f"ReservoirSampler (size={self.size})", child)
+
+
+# ---------------------------------------------------------------------------
+# Planner (reference: physicalplan.go:287 Build)
+
+DEFAULT_CONCURRENCY = 4  # logical lanes (reference: GOMAXPROCS fan-out)
+
+
+class ExecOptions:
+    def __init__(self, concurrency: int = DEFAULT_CONCURRENCY, ordered_aggregations: bool = False):
+        self.concurrency = concurrency
+        self.ordered_aggregations = ordered_aggregations
+
+
+def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> OutputPlan:
+    opts = options or ExecOptions()
+    output = OutputPlan()
+    prev: list[PhysicalOperator] = []
+    visit_err: list[Exception] = []
+
+    def visit(node: LogicalPlan) -> bool:
+        nonlocal prev
+        if node.table_scan is not None or node.schema_scan is not None:
+            plans = [NoopOperator() for _ in range(opts.concurrency)]
+            if node.table_scan is not None:
+                output.scan = TableScanExec(node.table_scan, plans)
+            else:
+                output.scan = SchemaScanExec(node.schema_scan, plans)
+            prev = list(plans)
+        elif node.projection is not None:
+            # Wildcard projections are handled by projection pushdown
+            # (physicalplan.go:349).
+            if any(e.name() == "all" for e in node.projection.exprs):
+                return True
+            for i in range(len(prev)):
+                p = Projection(node.projection.exprs)
+                prev[i].set_next(p)
+                prev[i] = p
+        elif node.distinct is not None:
+            sync = Synchronizer(len(prev)) if len(prev) > 1 else None
+            for i in range(len(prev)):
+                d = Distinction(node.distinct.exprs)
+                prev[i].set_next(d)
+                prev[i] = d
+                if sync is not None:
+                    d.set_next(sync)
+            if sync is not None:
+                d = Distinction(node.distinct.exprs)
+                sync.set_next(d)
+                prev = [d]
+        elif node.limit is not None:
+            limit = int(_lit_value(node.limit.expr))
+            sync = Synchronizer(len(prev)) if len(prev) > 1 else None
+            for i in range(len(prev)):
+                l = Limiter(limit)
+                prev[i].set_next(l)
+                prev[i] = l
+                if sync is not None:
+                    l.set_next(sync)
+            if sync is not None:
+                l = Limiter(limit)
+                sync.set_next(l)
+                prev = [l]
+        elif node.filter is not None:
+            for i in range(len(prev)):
+                f = PredicateFilter(node.filter.expr)
+                prev[i].set_next(f)
+                prev[i] = f
+        elif node.aggregation is not None:
+            sync = Synchronizer(len(prev)) if len(prev) > 1 else None
+            for i in range(len(prev)):
+                a = make_aggregate(node.aggregation, final_stage=sync is None)
+                prev[i].set_next(a)
+                prev[i] = a
+                if sync is not None:
+                    a.set_next(sync)
+            if sync is not None:
+                a = make_aggregate(node.aggregation, final_stage=True)
+                sync.set_next(a)
+                prev = [a]
+        elif node.sample is not None:
+            v = int(_lit_value(node.sample.expr))
+            limit = int(_lit_value(node.sample.limit))
+            per = v // len(prev)
+            per_limit = limit // len(prev)
+            r = v % len(prev)
+            for i in range(len(prev)):
+                adjust = 1 if i < r else 0
+                s = ReservoirSampler(per + adjust, per_limit)
+                prev[i].set_next(s)
+                prev[i] = s
+        else:
+            visit_err.append(RuntimeError("unsupported plan node"))
+            return False
+        return True
+
+    plan.accept_post(visit)
+    if visit_err:
+        raise visit_err[0]
+
+    if len(prev) > 1:
+        sync = Synchronizer(len(prev))
+        for p in prev:
+            p.set_next(sync)
+        sync.set_next(output)
+    else:
+        prev[0].set_next(output)
+    return output

@@ -1,0 +1,93 @@
+"""Crash recovery: snapshot load + two-pass WAL replay (reference:
+db.go:670 recover; replay strategy documented in design/wal.md:33-41).
+
+Pass 1 collects TableBlockPersisted entries so writes belonging to already-
+persisted blocks are skipped; pass 2 recreates tables/blocks and re-inserts
+surviving writes. The resulting watermark is max(snapshot tx, last WAL tx)
+(db.go:902-912 resume invariant).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .columnbatch import ColumnBatch
+from .table import TableConfig
+from .wal import (
+    KIND_NEW_TABLE_BLOCK,
+    KIND_SNAPSHOT,
+    KIND_TABLE_BLOCK_PERSISTED,
+    KIND_WRITE,
+    ipc_to_arrow,
+)
+
+
+def recover_db(db, path: str) -> None:
+    from .snapshot import load_snapshot
+
+    snapshot_tx = 0
+    if db.snapshot_dir is not None:
+        snapshot_tx = load_snapshot(db, db.snapshot_dir)
+
+    if db.wal is None:
+        if snapshot_tx:
+            db.reset_to_txn(snapshot_tx)
+        return
+
+    # Truncate the WAL below the snapshot (db.go:701).
+    if snapshot_tx:
+        db.wal.truncate(snapshot_tx + 1)
+
+    # Pass 1: find persisted blocks (design/wal.md:33).
+    persisted: dict[str, set[str]] = {}
+
+    def pass1(header: dict, body: bytes) -> None:
+        if header["kind"] == KIND_TABLE_BLOCK_PERSISTED:
+            persisted.setdefault(header["table"], set()).add(header["block_id"])
+
+    db.wal.replay(pass1, from_tx=snapshot_tx + 1)
+
+    # Pass 2: recreate tables and re-insert surviving writes.
+    current_block: dict[str, str] = {}
+    last_tx = snapshot_tx
+
+    def pass2(header: dict, body: bytes) -> None:
+        nonlocal last_tx
+        tx = header["tx"]
+        last_tx = max(last_tx, tx)
+        kind = header["kind"]
+        if kind == KIND_NEW_TABLE_BLOCK:
+            config = TableConfig.from_dict(header["config"])
+            name = header["table"]
+            table = db.tables.get(name)
+            if table is None:
+                table = _create_table_no_wal(db, name, config)
+            current_block[name] = header["block_id"]
+            table.active_block.id = header["block_id"]
+        elif kind == KIND_WRITE:
+            name = header["table"]
+            table = db.tables.get(name)
+            if table is None:
+                return
+            block = current_block.get(name, table.active_block.id)
+            if block in persisted.get(name, set()):
+                return  # write already persisted to object storage
+            rb = ipc_to_arrow(body)
+            batch = ColumnBatch.from_arrow(rb, get_dictionary=table.dictionary)
+            table.active_block.index.add(tx, batch)
+        elif kind == KIND_SNAPSHOT:
+            pass
+
+    db.wal.replay(pass2, from_tx=snapshot_tx + 1)
+    db.reset_to_txn(max(snapshot_tx, last_tx))
+
+
+def _create_table_no_wal(db, name: str, config: TableConfig):
+    """Create a table during replay without logging a fresh WAL entry."""
+    from .table import Table
+
+    t = Table(db, name, config)
+    if db.store is not None and db.store.metrics is not None:
+        t.metrics = db.store.metrics.table_metrics(db.name, name)
+    db.tables[name] = t
+    return t

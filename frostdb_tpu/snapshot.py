@@ -1,0 +1,154 @@
+"""Database snapshots (reference: snapshot.go; format comment at
+snapshot.go:31-49).
+
+A snapshot is a point-in-time image of all tables' parts, named by the txn
+watermark it covers:
+
+    <tx:020d>.fdbt  =  [magic "FDBT"][part payloads...]
+                       [footer json][u32 footer_len][u32 crc32(footer)]
+                       [magic "FDBT"]
+
+Part payloads are Arrow IPC streams. Loading validates the trailing magic and
+footer checksum and falls back to the newest *valid* snapshot
+(snapshot.go:317 getLatestValidSnapshotTxn). Old snapshots are removed after
+a successful write (snapshot.go:674).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from typing import Optional
+
+from .columnbatch import ColumnBatch
+from .lsm import Part
+from .table import TableConfig
+from .wal import batch_to_ipc, ipc_to_arrow
+
+MAGIC = b"FDBT"
+_U32 = struct.Struct("<I")
+
+
+def snapshot_path(directory: str, tx: int) -> str:
+    return os.path.join(directory, f"{tx:020d}.fdbt")
+
+
+def write_snapshot(db, directory: str) -> int:
+    """reference: snapshot.go:395 WriteSnapshot. Returns the snapshot tx."""
+    os.makedirs(directory, exist_ok=True)
+    tx = db.high_watermark()
+    path = snapshot_path(directory, tx)
+    tmp = path + ".tmp"
+    footer: dict = {"tx": tx, "tables": []}
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        offset = len(MAGIC)
+        for name, table in db.tables.items():
+            tmeta = {
+                "name": name,
+                "config": table.config.to_dict(),
+                "active_block_id": table.active_block.id,
+                "parts": [],
+            }
+            for part in table.active_block.index.snapshot():
+                if part.tx > tx:
+                    continue
+                payload = batch_to_ipc(part.batch)
+                f.write(payload)
+                tmeta["parts"].append(
+                    {
+                        "tx": part.tx,
+                        "level": part.compaction_level,
+                        "offset": offset,
+                        "length": len(payload),
+                    }
+                )
+                offset += len(payload)
+            footer["tables"].append(tmeta)
+        fb = json.dumps(footer).encode("utf-8")
+        f.write(fb)
+        f.write(_U32.pack(len(fb)))
+        f.write(_U32.pack(zlib.crc32(fb) & 0xFFFFFFFF))
+        f.write(MAGIC)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    if db.wal is not None:
+        db.wal.log_snapshot(tx)
+    cleanup_old_snapshots(directory, keep_tx=tx)
+    return tx
+
+
+def read_footer(path: str) -> Optional[dict]:
+    """reference: snapshot.go:491 readFooter — validates magic + checksum."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        if len(data) < len(MAGIC) * 2 + 8 or data[: len(MAGIC)] != MAGIC:
+            return None
+        if data[-len(MAGIC) :] != MAGIC:
+            return None
+        crc = _U32.unpack(data[-len(MAGIC) - 4 : -len(MAGIC)])[0]
+        flen = _U32.unpack(data[-len(MAGIC) - 8 : -len(MAGIC) - 4])[0]
+        fstart = len(data) - len(MAGIC) - 8 - flen
+        fb = data[fstart : fstart + flen]
+        if zlib.crc32(fb) & 0xFFFFFFFF != crc:
+            return None
+        return json.loads(fb)
+    except Exception:
+        return None
+
+
+def list_snapshot_txns(directory: str) -> list[int]:
+    if not os.path.isdir(directory):
+        return []
+    out = []
+    for f in os.listdir(directory):
+        if f.endswith(".fdbt") and f[:-5].isdigit():
+            out.append(int(f[:-5]))
+    return sorted(out)
+
+
+def get_latest_valid_snapshot_txn(directory: str) -> Optional[int]:
+    """reference: snapshot.go:317 — newest snapshot whose footer validates."""
+    for tx in reversed(list_snapshot_txns(directory)):
+        if read_footer(snapshot_path(directory, tx)) is not None:
+            return tx
+    return None
+
+
+def load_snapshot(db, directory: str) -> int:
+    """Restore tables/parts from the newest valid snapshot; returns its tx
+    (0 when none). reference: snapshot.go:277 LoadSnapshot."""
+    tx = get_latest_valid_snapshot_txn(directory)
+    if tx is None:
+        return 0
+    path = snapshot_path(directory, tx)
+    footer = read_footer(path)
+    if footer is None:
+        return 0
+    with open(path, "rb") as f:
+        data = f.read()
+    for tmeta in footer["tables"]:
+        config = TableConfig.from_dict(tmeta["config"])
+        table = db.table(tmeta["name"], config)
+        table.active_block.id = tmeta.get("active_block_id", table.active_block.id)
+        for pmeta in tmeta["parts"]:
+            payload = data[pmeta["offset"] : pmeta["offset"] + pmeta["length"]]
+            rb = ipc_to_arrow(payload)
+            batch = ColumnBatch.from_arrow(rb, get_dictionary=table.dictionary)
+            part = Part(batch, pmeta["tx"], pmeta["level"])
+            table.active_block.index.insert_part(part)
+    db.reset_to_txn(tx)
+    return tx
+
+
+def cleanup_old_snapshots(directory: str, keep_tx: int) -> None:
+    for tx in list_snapshot_txns(directory):
+        if tx < keep_tx:
+            try:
+                os.remove(snapshot_path(directory, tx))
+            except OSError:
+                pass

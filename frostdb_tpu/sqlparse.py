@@ -1,0 +1,374 @@
+"""Experimental SQL frontend (reference: sqlparse/{parser,visitor}.go).
+
+A recursive-descent parser for the reference's SQL subset (the TiDB-parser
+surface actually used: SELECT fields, WHERE with and/or/parens, comparisons,
+regexp / like, GROUP BY, LIMIT, DISTINCT(...), EXPLAIN, aggregate functions,
+second(), convert()). Plan construction replicates the reference visitor's
+pre/post-projection split around aggregations (visitor.go:57-155) so the
+resulting plans — and their explain strings — are identical.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from .query import expr as E
+
+
+class SQLParseError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<number>\d+\.\d+|\d+)
+    | (?P<string>'(?:[^']*)')
+    | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|/|\+|-)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    # '#' starts a comment to end of line (mysql-style, used in goldens).
+    lines = []
+    for line in sql.split("\n"):
+        i = line.find("#")
+        if i >= 0:
+            line = line[:i]
+        lines.append(line)
+    sql = " ".join(lines)
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            if sql[pos:].strip() == "":
+                break
+            raise SQLParseError(f"unexpected character at {sql[pos:]!r}")
+        pos = m.end()
+        if m.lastgroup == "number":
+            tokens.append(("number", m.group("number")))
+        elif m.lastgroup == "string":
+            tokens.append(("string", m.group("string")[1:-1]))
+        elif m.lastgroup == "op":
+            tokens.append(("op", m.group("op")))
+        else:
+            tokens.append(("ident", m.group("ident")))
+    return tokens
+
+
+AGG_FUNCS = {
+    "sum": E.Sum,
+    "min": E.Min,
+    "max": E.Max,
+    "count": E.Count,
+    "avg": E.Avg,
+}
+
+
+@dataclass
+class ParseResult:
+    explain: bool
+    plan: object  # LocalQueryBuilder
+
+
+class Parser:
+    """reference: sqlparse/parser.go:30 ExperimentalParse."""
+
+    def parse(self, query_builder, dyn_col_names: list[str], sql: str) -> ParseResult:
+        p = _Parser(tokenize(sql), set(dyn_col_names))
+        return p.parse_statement(query_builder)
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], dyn_cols: set[str]):
+        self.tokens = tokens
+        self.pos = 0
+        self.dyn_cols = dyn_cols
+
+    # -- token helpers ----------------------------------------------------
+
+    def peek(self) -> Optional[tuple[str, str]]:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise SQLParseError("unexpected end of input")
+        self.pos += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> Optional[str]:
+        t = self.peek()
+        if t is not None and t[0] == "ident" and t[1].lower() in kws:
+            self.pos += 1
+            return t[1].lower()
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if self.accept_kw(kw) is None:
+            raise SQLParseError(f"expected {kw!r} at {self.peek()}")
+
+    def accept_op(self, *ops: str) -> Optional[str]:
+        t = self.peek()
+        if t is not None and t[0] == "op" and t[1] in ops:
+            self.pos += 1
+            return t[1]
+        return None
+
+    def expect_op(self, op: str) -> None:
+        if self.accept_op(op) is None:
+            raise SQLParseError(f"expected {op!r} at {self.peek()}")
+
+    # -- grammar ----------------------------------------------------------
+
+    def parse_statement(self, builder) -> ParseResult:
+        explain = self.accept_kw("explain") is not None
+        self.expect_kw("select")
+
+        distinct = False
+        fields: list[E.Expr] = []
+        if self.accept_kw("distinct"):
+            distinct = True
+            self.expect_op("(")
+            fields.append(self.parse_expr())
+            while self.accept_op(","):
+                fields.append(self.parse_expr())
+            self.expect_op(")")
+        else:
+            fields.append(self.parse_field())
+            while self.accept_op(","):
+                fields.append(self.parse_field())
+
+        where_expr = None
+        if self.accept_kw("where"):
+            where_expr = self.parse_or()
+
+        group_by: Optional[list[E.Expr]] = None
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group_by = []
+            if self.accept_op("("):
+                group_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    group_by.append(self.parse_expr())
+                self.expect_op(")")
+            else:
+                group_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    group_by.append(self.parse_expr())
+
+        limit: Optional[int] = None
+        if self.accept_kw("limit"):
+            t = self.next()
+            if t[0] != "number":
+                raise SQLParseError(f"expected limit count, got {t}")
+            limit = int(t[1])
+
+        if self.peek() is not None:
+            raise SQLParseError(f"unexpected trailing tokens: {self.peek()}")
+
+        # -- plan construction (visitor.go:44-160 Enter) -------------------
+        if where_expr is not None:
+            builder = builder.filter(where_expr)
+
+        if group_by is not None:
+            pre: list[E.Expr] = []
+            post: list[E.Expr] = []
+            aggs: list[E.AggregationFunction] = []
+            included_pre: set[str] = set()
+            for f in fields:
+                found: list[E.AggregationFunction] = []
+
+                def visit(e: E.Expr, found=found) -> bool:
+                    if isinstance(e, E.AggregationFunction):
+                        found.append(e)
+                    return True
+
+                f.accept(visit)
+                if found:
+                    for agg in found:
+                        if agg.expr.name() not in included_pre:
+                            pre.append(agg.expr)
+                            included_pre.add(agg.expr.name())
+                        aggs.append(agg)
+                    post.append(f)
+                else:
+                    pre.append(f)
+                    if isinstance(f, E.DynamicColumn):
+                        post.append(f)
+                    else:
+                        post.append(E.Col(f.name()))
+            for g in group_by:
+                if not any(g.name() == p.name() for p in pre):
+                    pre.append(g)
+            builder = builder.project(*pre)
+            builder = builder.aggregate(aggs, group_by)
+            builder = builder.project(*post)
+            if limit is not None:
+                builder = builder.limit(E.Literal(limit))
+        elif limit is not None:
+            builder = builder.project(*fields)
+            builder = builder.limit(E.Literal(limit))
+        elif distinct:
+            builder = builder.project(*fields)
+            builder = builder.distinct(*fields)
+        else:
+            builder = builder.project(*fields)
+
+        return ParseResult(explain=explain, plan=builder)
+
+    def parse_field(self) -> E.Expr:
+        e = self.parse_expr()
+        if self.accept_kw("as"):
+            t = self.next()
+            if t[0] != "ident":
+                raise SQLParseError(f"expected alias name, got {t}")
+            e = e.alias(t[1])
+        return e
+
+    # Precedence: or < and < comparison < add/sub < mul/div < primary.
+
+    def parse_or(self) -> E.Expr:
+        e = self.parse_and()
+        while self.accept_kw("or"):
+            e = E.BinaryExpr(e, E.OP_OR, self.parse_and())
+        return e
+
+    def parse_and(self) -> E.Expr:
+        e = self.parse_comparison()
+        while self.accept_kw("and"):
+            e = E.BinaryExpr(e, E.OP_AND, self.parse_comparison())
+        return e
+
+    def parse_expr(self) -> E.Expr:
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> E.Expr:
+        left = self.parse_additive()
+        op = self.accept_op("=", "!=", "<>", "<", "<=", ">", ">=")
+        if op is not None:
+            right = self.parse_additive()
+            opmap = {
+                "=": E.OP_EQ,
+                "!=": E.OP_NOT_EQ,
+                "<>": E.OP_NOT_EQ,
+                "<": E.OP_LT,
+                "<=": E.OP_LT_EQ,
+                ">": E.OP_GT,
+                ">=": E.OP_GT_EQ,
+            }
+            return E.BinaryExpr(left, opmap[op], right)
+        # [not] regexp / like (visitor.go PatternRegexpExpr / LikeExpr: the
+        # left side is rewritten to a concrete Column reference).
+        negate = False
+        save = self.pos
+        if self.accept_kw("not"):
+            negate = True
+        kw = self.accept_kw("regexp", "like")
+        if kw is None:
+            if negate:
+                self.pos = save
+            return left
+        right = self.parse_additive()
+        if kw == "regexp":
+            op_ = E.OP_REGEX_NOT_MATCH if negate else E.OP_REGEX_MATCH
+        else:
+            op_ = E.OP_NOT_CONTAINS if negate else E.OP_CONTAINS
+        return E.BinaryExpr(E.Col(left.name()), op_, right)
+
+    def parse_additive(self) -> E.Expr:
+        e = self.parse_multiplicative()
+        while True:
+            op = self.accept_op("+", "-")
+            if op is None:
+                return e
+            e = E.BinaryExpr(
+                e, E.OP_ADD if op == "+" else E.OP_SUB, self.parse_multiplicative()
+            )
+
+    def parse_multiplicative(self) -> E.Expr:
+        e = self.parse_primary()
+        while True:
+            op = self.accept_op("*", "/")
+            if op is None:
+                return e
+            e = E.BinaryExpr(
+                e, E.OP_MUL if op == "*" else E.OP_DIV, self.parse_primary()
+            )
+
+    def parse_primary(self) -> E.Expr:
+        t = self.peek()
+        if t is None:
+            raise SQLParseError("unexpected end of expression")
+        kind, val = t
+        if kind == "op" and val == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect_op(")")
+            return e
+        if kind == "number":
+            self.next()
+            if "." in val:
+                return E.Literal(float(val))
+            return E.Literal(int(val))
+        if kind == "string":
+            self.next()
+            return E.Literal(val)
+        if kind == "ident":
+            low = val.lower()
+            if low == "null":
+                self.next()
+                return E.Literal(None)
+            if low in ("true", "false"):
+                self.next()
+                return E.Literal(low == "true")
+            if low in AGG_FUNCS:
+                # function call?
+                if self._is_call():
+                    self.next()
+                    self.expect_op("(")
+                    inner = self.parse_expr()
+                    self.expect_op(")")
+                    return AGG_FUNCS[low](inner)
+            if low == "second" and self._is_call():
+                self.next()
+                self.expect_op("(")
+                n = self.parse_expr()
+                self.expect_op(")")
+                if not isinstance(n, E.Literal):
+                    raise SQLParseError("second() requires a literal")
+                return E.Duration(int(n.value) * 1000)
+            if low == "convert" and self._is_call():
+                self.next()
+                self.expect_op("(")
+                inner = self.parse_expr()
+                self.expect_op(",")
+                tt = self.next()
+                self.expect_op(")")
+                from .columnbatch import KIND_FLOAT64, KIND_INT64
+
+                type_map = {"float": KIND_FLOAT64, "double": KIND_FLOAT64, "int": KIND_INT64}
+                if tt[1].lower() not in type_map:
+                    raise SQLParseError(f"unhandled cast type {tt[1]}")
+                return E.Convert(inner, type_map[tt[1].lower()])
+            self.next()
+            base = val.split(".")[0]
+            if val in self.dyn_cols or (base in self.dyn_cols and "." not in val):
+                return E.DynCol(val)
+            return E.Col(val)
+        raise SQLParseError(f"unexpected token {t}")
+
+    def _is_call(self) -> bool:
+        nxt = (
+            self.tokens[self.pos + 1] if self.pos + 1 < len(self.tokens) else None
+        )
+        return nxt is not None and nxt == ("op", "(")

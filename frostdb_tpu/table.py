@@ -1,0 +1,281 @@
+"""Table runtime (reference: table.go).
+
+A ``Table`` owns the active ``TableBlock`` (LSM of parts), table-global
+dictionaries for string columns, the insert path (prehash + WAL + L0 add,
+table.go:656 InsertRecord) and the scan path (table.go:740 Iterator /
+table.go:872 SchemaIterator).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from .columnbatch import Column, ColumnBatch, Dictionary, KIND_DICT
+from .lsm import LSM, LevelConfig, Part, prune_part
+from .schema import Schema, SchemaDef, is_dynamic_name, split_dynamic
+
+
+@dataclass
+class TableConfig:
+    """reference: table.go:78 TableConfig (persisted protobuf in WAL
+    NewTableBlock entries; here plain data serialized as json)."""
+
+    schema: SchemaDef
+    row_group_size: int = 0
+    block_reader_limit: int = 0
+    disable_wal: bool = False
+    # Active-block rotation threshold in bytes (reference:
+    # WithActiveMemorySize, db.go options).
+    active_memory_size: int = 512 * 1024 * 1024
+
+    def to_dict(self) -> dict:
+        return {
+            "schema": self.schema.to_dict(),
+            "row_group_size": self.row_group_size,
+            "block_reader_limit": self.block_reader_limit,
+            "disable_wal": self.disable_wal,
+            "active_memory_size": self.active_memory_size,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "TableConfig":
+        return TableConfig(
+            schema=SchemaDef.from_dict(d["schema"]),
+            row_group_size=d.get("row_group_size", 0),
+            block_reader_limit=d.get("block_reader_limit", 0),
+            disable_wal=d.get("disable_wal", False),
+            active_memory_size=d.get("active_memory_size", 512 * 1024 * 1024),
+        )
+
+
+DEFAULT_LEVELS = [
+    # reference: table.go:53-60 default LSM shape.
+    LevelConfig(level=0, max_size=15 * 1024 * 1024),
+    LevelConfig(level=1, max_size=128 * 1024 * 1024),
+    LevelConfig(level=2, max_size=512 * 1024 * 1024),
+]
+
+
+class TableBlock:
+    """Active block: one LSM + its ULID (reference: table.go:298)."""
+
+    def __init__(self, table: "Table", block_id: str, min_tx: int):
+        self.table = table
+        self.id = block_id
+        self.min_tx = min_tx
+        self.last_snapshot_size = 0
+        cfgs = [
+            LevelConfig(l.level, l.max_size, self._compact_fn(l.level))
+            for l in DEFAULT_LEVELS
+        ]
+        self.index = LSM(cfgs)
+        self.index.watermark = lambda: table.db.high_watermark() if table.db else 2**63
+        self._size = 0
+
+    def _compact_fn(self, level: int):
+        def compact(parts: list[Part]) -> list[Part]:
+            return [self.table.compact_parts(parts)]
+
+        return compact
+
+    def insert(self, tx: int, batch: ColumnBatch) -> None:
+        self.index.add(tx, batch)
+        self._size += sum(c.values.nbytes for c in batch.columns)
+
+    def size(self) -> int:
+        return self._size
+
+
+class Table:
+    def __init__(self, db, name: str, config: TableConfig):
+        self.db = db
+        self.name = name
+        self.config = config
+        self._schema = Schema(config.schema)
+        self.dictionaries: dict[str, Dictionary] = {}
+        self._lock = threading.Lock()
+        self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=0)
+        self.pending_blocks: list[TableBlock] = []
+        self.metrics = None
+
+    # ------------------------------------------------------------------
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def dictionary(self, family: str) -> Dictionary:
+        d = self.dictionaries.get(family)
+        if d is None:
+            d = Dictionary()
+            self.dictionaries[family] = d
+        return d
+
+    # ------------------------------------------------------------------
+    # Ingest (reference: table.go:656 InsertRecord)
+
+    def insert_record(self, record, sort: bool = False) -> int:
+        """Insert an Arrow record batch or ColumnBatch. Returns the txn id.
+        The caller is expected to provide rows sorted by the schema's sorting
+        columns (like the reference, where dynparquet.Buffer.Sort happens in
+        the ingestion helpers); pass sort=True to sort here."""
+        if isinstance(record, (pa.RecordBatch, pa.Table)):
+            batch = ColumnBatch.from_arrow(record, get_dictionary=self.dictionary)
+        else:
+            batch = record
+        if sort:
+            dyn = batch.dynamic_columns()
+            sorting = self._schema.sorting_key_columns(dyn)
+            batch = batch.sort_by(sorting)
+        batch = batch.prehash(self._schema)
+
+        if self.db is not None:
+            tx = self.db.begin()
+        else:
+            tx = 1
+
+        if self.db is not None and self.db.wal is not None and not self.config.disable_wal:
+            self.db.wal.log_record(tx, self.name, batch)
+
+        self.active_block.insert(tx, batch)
+
+        if self.db is not None:
+            self.db.commit(tx)
+            self.db.maybe_snapshot(self)
+        if self.metrics is not None:
+            self.metrics.rows_inserted.inc(batch.num_rows)
+
+        if self.active_block.size() >= self.config.active_memory_size:
+            self.rotate_block()
+        return tx
+
+    def rotate_block(self) -> None:
+        """reference: table.go:572 RotateBlock + go writeBlock (table.go:436).
+        Synchronous here: persist the compacted block to the sink, then drop
+        it from memory."""
+        with self._lock:
+            old = self.active_block
+            tx = self.db.begin() if self.db is not None else 1
+            self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=tx)
+            if self.db is not None:
+                if self.db.wal is not None and not self.config.disable_wal:
+                    self.db.wal.log_new_table_block(
+                        tx, self.name, self.active_block.id, self.config
+                    )
+                self.db.commit(tx)
+        if self.db is not None and self.db.sinks:
+            parts = old.index.rotate(lambda ps: [self.compact_parts(ps)])
+            if parts:
+                self.db.sinks[0].upload_block(
+                    self.db.name, self.name, old.id, parts[0].batch, self._schema
+                )
+            ptx = self.db.begin()
+            if self.db.wal is not None and not self.config.disable_wal:
+                self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
+            self.db.commit(ptx)
+            self.db.maintain_wal()
+        else:
+            # No sink: keep the block readable in memory.
+            self.pending_blocks.append(old)
+
+    # ------------------------------------------------------------------
+    # Compaction (reference: table.go:1267 compactParts)
+
+    def compact_parts(self, parts: list[Part]) -> Part:
+        """Merge parts into one sorted part (k-way merge of sorted runs; on
+        this engine expressed as concat + multi-key sort, which XLA/numpy
+        executes as a single fused sort — the reference's
+        MergeDynamicRowGroups, dynparquet/schema.go:1333)."""
+        from .query.physical import unify_concat
+
+        batches = [p.batch for p in parts]
+        merged = unify_concat(batches)
+        dyn = merged.dynamic_columns()
+        sorting = self._schema.sorting_key_columns(dyn)
+        merged = merged.sort_by(sorting)
+        max_tx = max(p.tx for p in parts)
+        out = Part(merged, max_tx, compaction_level=max(p.compaction_level for p in parts) + 0)
+        return out
+
+    # ------------------------------------------------------------------
+    # Scan (reference: table.go:731 View, :740 Iterator)
+
+    def view(self, fn) -> None:
+        tx = self.db.high_watermark() if self.db is not None else 2**63
+        fn(tx)
+
+    def collect_parts(self, tx: int) -> list[Part]:
+        parts = list(self.active_block.index.scan(tx))
+        for blk in self.pending_blocks:
+            parts.extend(blk.index.scan(tx))
+        return parts
+
+    def iterator(
+        self,
+        tx: int,
+        callbacks: Sequence[Callable[[ColumnBatch], None]],
+        physical_projection: Sequence = (),
+        filter=None,
+        distinct_columns: Sequence = (),
+        projection: Sequence = (),
+    ) -> None:
+        """Push each visible part's batch through the operator callbacks.
+        All batches go down lane 0 for deterministic stream order (see
+        query/physical.py module docstring)."""
+        parts = self.collect_parts(tx)
+        source_batches = []
+        if self.db is not None:
+            for source in self.db.sources:
+                source_batches.extend(
+                    source.scan(
+                        self.db.name,
+                        self.name,
+                        self._schema,
+                        filter,
+                        self.dictionary,
+                        exclude_block_ids={b.id for b in [self.active_block] + self.pending_blocks},
+                    )
+                )
+        cb = callbacks[0]
+        for part in parts:
+            if filter is not None and prune_part(part, filter):
+                continue
+            batch = part.batch
+            batch = self._apply_physical_projection(batch, physical_projection)
+            cb(batch)
+        for batch in source_batches:
+            batch = self._apply_physical_projection(batch, physical_projection)
+            cb(batch)
+
+    def _apply_physical_projection(
+        self, batch: ColumnBatch, physical_projection: Sequence
+    ) -> ColumnBatch:
+        if not physical_projection:
+            return batch
+        cols = [
+            c
+            for c in batch.columns
+            if any(m.matches_column(c.name) for m in physical_projection)
+        ]
+        return ColumnBatch(cols, batch.num_rows)
+
+    def schema_iterator(
+        self,
+        tx: int,
+        callbacks: Sequence[Callable[[ColumnBatch], None]],
+        filter=None,
+    ) -> None:
+        """Emit one batch per part listing its concrete column names in a
+        "name" column (reference: table.go:872 SchemaIterator)."""
+        cb = callbacks[0]
+        d = Dictionary()
+        for part in self.collect_parts(tx):
+            names = part.batch.column_names()
+            codes, valid = d.encode(names)
+            col = Column("name", KIND_DICT, codes, valid, d)
+            cb(ColumnBatch([col], len(names)))

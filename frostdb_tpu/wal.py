@@ -1,0 +1,244 @@
+"""Write-ahead log (reference: wal/wal.go FileWAL).
+
+Append-only segment files of framed entries. Each entry:
+
+    [u32 header_len][u32 crc32(header+body)][header json][body bytes]
+
+Header: {"tx": int, "kind": ..., "table": ...}; the body of a "write" entry
+is the record batch as Arrow IPC (the reference serializes Arrow IPC inside
+its protobuf Entry_Write, wal/wal.go:558 LogRecord).
+
+Entries are appended in transaction order; replay tolerates a corrupt tail
+by truncating at the first bad frame (the reference's segment self-repair,
+wal/wal.go:216 repairs_total). Batching/fsync policy: entries are buffered
+and flushed per log call by default (``sync=True``); ``sync=False`` defers
+to an explicit flush, mirroring the reference's async batcher
+(wal/wal.go:360 process loop).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import threading
+import zlib
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+KIND_WRITE = "write"
+KIND_NEW_TABLE_BLOCK = "new_table_block"
+KIND_TABLE_BLOCK_PERSISTED = "table_block_persisted"
+KIND_SNAPSHOT = "snapshot"
+
+_FRAME = struct.Struct("<II")
+SEGMENT_MAX_BYTES = 8 * 1024 * 1024
+
+
+def batch_to_ipc(batch) -> bytes:
+    rb = batch.to_arrow()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, rb.schema) as w:
+        w.write_batch(rb)
+    return sink.getvalue()
+
+
+def ipc_to_arrow(data: bytes) -> pa.RecordBatch:
+    with pa.ipc.open_stream(io.BytesIO(data)) as r:
+        batches = [b for b in r]
+    if len(batches) == 1:
+        return batches[0]
+    return pa.Table.from_batches(batches).combine_chunks().to_batches()[0]
+
+
+class FileWAL:
+    def __init__(self, directory: str, sync: bool = True):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self.sync = sync
+        self._lock = threading.Lock()
+        self._file: Optional[io.BufferedWriter] = None
+        self._segment_start_tx = 0
+        self._segment_size = 0
+        self.repairs = 0
+        self.repairs_lost_records = 0
+
+    # -- segment management ------------------------------------------------
+
+    def _segments(self) -> list[str]:
+        segs = [
+            f
+            for f in os.listdir(self.dir)
+            if f.endswith(".wal") and f[:-4].isdigit()
+        ]
+        return sorted(segs)
+
+    def _open_segment(self, first_tx: int) -> None:
+        if self._file is not None:
+            self._file.flush()
+            os.fsync(self._file.fileno())
+            self._file.close()
+        path = os.path.join(self.dir, f"{first_tx:020d}.wal")
+        self._file = open(path, "ab")
+        self._segment_start_tx = first_tx
+        self._segment_size = 0
+
+    # -- logging -----------------------------------------------------------
+
+    def _append(self, tx: int, kind: str, header_extra: dict, body: bytes) -> None:
+        header = {"tx": tx, "kind": kind, "bl": len(body)}
+        header.update(header_extra)
+        hb = json.dumps(header).encode("utf-8")
+        crc = zlib.crc32(hb + body) & 0xFFFFFFFF
+        frame = _FRAME.pack(len(hb), crc)
+        with self._lock:
+            if self._file is None or self._segment_size > SEGMENT_MAX_BYTES:
+                self._open_segment(tx)
+            self._file.write(frame)
+            self._file.write(hb)
+            self._file.write(body)
+            self._segment_size += len(frame) + len(hb) + len(body)
+            if self.sync:
+                self._file.flush()
+                os.fsync(self._file.fileno())
+
+    def log_record(self, tx: int, table: str, batch) -> None:
+        self._append(tx, KIND_WRITE, {"table": table}, batch_to_ipc(batch))
+
+    def log_new_table_block(self, tx: int, table: str, block_id: str, config) -> None:
+        self._append(
+            tx,
+            KIND_NEW_TABLE_BLOCK,
+            {"table": table, "block_id": block_id, "config": config.to_dict()},
+            b"",
+        )
+
+    def log_table_block_persisted(self, tx: int, table: str, block_id: str) -> None:
+        self._append(
+            tx,
+            KIND_TABLE_BLOCK_PERSISTED,
+            {"table": table, "block_id": block_id},
+            b"",
+        )
+
+    def log_snapshot(self, tx: int) -> None:
+        self._append(tx, KIND_SNAPSHOT, {}, b"")
+
+    def flush(self) -> None:
+        with self._lock:
+            if self._file is not None:
+                self._file.flush()
+                os.fsync(self._file.fileno())
+
+    # -- replay ------------------------------------------------------------
+
+    def replay(self, handler: Callable[[dict, bytes], None], from_tx: int = 0) -> int:
+        """Replay entries with tx >= from_tx in order; returns the max tx
+        seen (reference: wal/wal.go:618 Replay). Corrupt tails truncate."""
+        self.flush()
+        max_tx = 0
+        for seg in self._segments():
+            path = os.path.join(self.dir, seg)
+            with open(path, "rb") as f:
+                data = f.read()
+            pos = 0
+            good_end = 0
+            while pos + _FRAME.size <= len(data):
+                hlen, crc = _FRAME.unpack_from(data, pos)
+                hstart = pos + _FRAME.size
+                if hstart + hlen > len(data):
+                    break
+                try:
+                    header = json.loads(data[hstart : hstart + hlen])
+                except Exception:
+                    break
+                body_start = hstart + hlen
+                body_len = header.get("bl", 0)
+                if body_start + body_len > len(data):
+                    break
+                body = data[body_start : body_start + body_len]
+                if zlib.crc32(data[hstart : hstart + hlen] + body) & 0xFFFFFFFF != crc:
+                    self.repairs += 1
+                    break
+                pos = body_start + body_len
+                good_end = pos
+                tx = header["tx"]
+                max_tx = max(max_tx, tx)
+                if tx >= from_tx:
+                    handler(header, body)
+            if good_end < len(data):
+                # truncate torn tail (self-repair)
+                self.repairs_lost_records += 1
+                with open(path, "r+b") as f:
+                    f.truncate(good_end)
+        return max_tx
+
+    def first_index(self) -> int:
+        segs = self._segments()
+        if not segs:
+            return 0
+        return int(segs[0][:-4])
+
+    def truncate(self, tx: int) -> None:
+        """Drop whole segments strictly below tx (reference: wal/wal.go:484
+        Truncate; segment-granularity like the underlying segment store)."""
+        with self._lock:
+            segs = self._segments()
+            for i, seg in enumerate(segs):
+                nxt_start = (
+                    int(segs[i + 1][:-4]) if i + 1 < len(segs) else None
+                )
+                if nxt_start is not None and nxt_start <= tx:
+                    cur = os.path.join(self.dir, seg)
+                    if self._file is not None and os.path.samefile(
+                        cur, self._file.name
+                    ):
+                        continue
+                    os.remove(cur)
+
+    def reset(self) -> None:
+        """Drop everything (reference: wal/wal.go:493 Reset)."""
+        with self._lock:
+            if self._file is not None:
+                self._file.close()
+                self._file = None
+            for seg in self._segments():
+                os.remove(os.path.join(self.dir, seg))
+
+    def close(self) -> None:
+        with self._lock:
+            if self._file is not None:
+                self._file.flush()
+                os.fsync(self._file.fileno())
+                self._file.close()
+                self._file = None
+
+
+class NopWAL:
+    """reference: wal/wal.go:27 NopWAL."""
+
+    def log_record(self, *a, **k):
+        pass
+
+    def log_new_table_block(self, *a, **k):
+        pass
+
+    def log_table_block_persisted(self, *a, **k):
+        pass
+
+    def log_snapshot(self, *a, **k):
+        pass
+
+    def replay(self, handler, from_tx: int = 0) -> int:
+        return 0
+
+    def truncate(self, tx: int) -> None:
+        pass
+
+    def reset(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
