@@ -1,0 +1,130 @@
+"""Pallas fused filter + group-by aggregation kernel.
+
+The XLA one-hot formulation (ops/fused.py) materializes the [N, K] one-hot
+matrix through HBM; this kernel generates it in VMEM per 128-row slab and
+contracts on the MXU's native int8 path, so HBM traffic is just the input
+columns plus a tiny per-superblock partial.
+
+Layout contract (TPU-native storage decision): the group-code column is
+stored **sublane-major** — shape [128, n_slabs], column s holding rows
+[s*128, (s+1)*128) — so the kernel builds each slab's one-hot
+``(codes_col == lane_iota)`` without any in-kernel transpose (Mosaic
+transposes of 1-bit/8-bit vectors are unsupported/slow). Value and
+timestamp columns stay row-major [n_slabs, 128].
+
+Selection is folded into the LHS digit rows (``d * sel``), never into the
+one-hot, so only one side of the matmul depends on the filter:
+
+    sums[k]   = (d0*sel, d1*sel) rows . onehot   (recombined base-128)
+    counts[k] = sel row . onehot
+
+Per slab: one [8,128] x [128,128] int8 matmul with int32 accumulation —
+exact; int64 recombination happens on the [K]-sized partials outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 128-row slabs per superblock (fully unrolled in the kernel).
+# int32 accumulator headroom: 65536 * 127 = 2^23 per digit cell.
+SUB = 64
+ROWS_PER_SUPER = SUB * 128
+
+
+def _agg_kernel(c_ref, v_ref, t_ref, lit_ref, out_ref):
+    lit = lit_ref[0]
+    # code values along SUBLANES: onehot_T[k, r] = (codes[r] == k)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    # Whole-block elementwise precompute (full VPU tiles instead of [1,128]
+    # row slices): masked base-128 digits and the selection row.
+    v = v_ref[:]
+    sel32 = (t_ref[:] >= lit).astype(jnp.int32)
+    d0b = (jax.lax.bitwise_and(v, jnp.int32(127)) * sel32).astype(jnp.int8)
+    d1b = (jax.lax.shift_right_logical(v, jnp.int32(7)) * sel32).astype(
+        jnp.int8
+    )
+    selb = sel32.astype(jnp.int8)
+    zeros5 = jnp.zeros((5, 128), jnp.int8)
+
+    c = c_ref[:]
+    acc = jnp.zeros((8, 128), dtype=jnp.int32)
+    # statically unrolled over slabs: all slices are compile-time constant
+    # (int8/bf16 compares don't legalize on this target; int32 it is)
+    for s in range(SUB):
+        row_c = c[s : s + 1, :]  # [1, 128] rows on lanes
+        onehot_t = (jnp.broadcast_to(row_c, (128, 128)) == iota_sub).astype(
+            jnp.int8
+        )  # [k, r]
+        lhs = jnp.concatenate(
+            [d0b[s : s + 1], d1b[s : s + 1], selb[s : s + 1], zeros5], axis=0
+        )  # [8, 128]
+        # contract rows on both minor dims (transposed-RHS MXU orientation)
+        acc = acc + jax.lax.dot_general(
+            lhs,
+            onehot_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_codes",))
+def pallas_filter_group_sum_count(codes, values, ts, literal, num_codes: int):
+    """Exact (sums[num_codes] int64, counts[num_codes] int64) for
+    ``where ts >= literal group by codes``.
+
+    codes/values/ts: [n_slabs, 128] int32 row-major slabs; values must be
+    14-bit non-negative (two base-128 digits). num_codes <= 128 (one
+    accumulator tile; larger K tiles over the lane dim in a follow-up).
+    """
+    n_slabs = codes.shape[0]
+    n_super = n_slabs // SUB
+    assert n_super * SUB == n_slabs, (n_slabs, SUB)
+    assert num_codes <= 128
+    lit = jnp.asarray([literal], dtype=jnp.int32)
+
+    # NB: index-map constants must be int32 — with jax_enable_x64 a bare
+    # python 0 traces as i64 and Mosaic fails to legalize the kernel's
+    # func.return.
+    out = pl.pallas_call(
+        _agg_kernel,
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128),
+            lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, 128), jnp.int32),
+    )(codes, values, ts.astype(jnp.int32), lit)
+
+    partials = out[:, :3, :num_codes].astype(jnp.int64).sum(axis=0)  # [3, K]
+    sums = partials[0] + (partials[1] << 7)
+    counts = partials[2]
+    return sums, counts
+
+
+def to_row_major(col):
+    """[N] -> [N/128, 128] row-major slabs."""
+    n = col.shape[0]
+    return col.reshape(n // 128, 128)
