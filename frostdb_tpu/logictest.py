@@ -392,6 +392,12 @@ class LogicTestDB:
 
     def __init__(self, db, exec_options: Optional[ExecOptions] = None):
         self.db = db
+        if exec_options is None:
+            # logic_test.go:35 passes WithOrderedAggregations; SQL plans
+            # still produce HashAggregate because the visitor's
+            # pre-projection breaks stream ordering (plan goldens rely on
+            # this).
+            exec_options = ExecOptions(ordered_aggregations=True)
         self.engine = LocalEngine(db.table_provider(), exec_options)
 
     def create_table(self, name: str, schema_def: SchemaDef):

@@ -312,6 +312,43 @@ def group_aggregate(key_vals, key_valid, agg_vals, agg_valid, sel, agg_ops):
     )
 
 
+@jax.jit
+def ordered_group_ids(key_vals, key_valid, sel):
+    """Grouping pass for already-sorted input (reference:
+    pqarrow/arrowutils/groupranges.go GetGroupsAndOrderedSetRanges +
+    OrderedAggregate): no sort — boundaries are computed positionally, so
+    this is a single streaming pass. Selected rows must form a prefix.
+
+    Returns (num_groups, seg[N], first_row[N]) with groups in stream order.
+    """
+    n = sel.shape[0]
+    rowidx = jnp.arange(n, dtype=jnp.int32)
+
+    def diffs(arr):
+        return jnp.concatenate(
+            [jnp.ones((1,), dtype=jnp.bool_), arr[1:] != arr[:-1]]
+        )
+
+    changed = jnp.zeros(n, dtype=jnp.bool_)
+    any_key = False
+    for v, va in zip(key_vals, key_valid):
+        r = jnp.where(va & sel, _as_sort_key(v), jnp.int64(0))
+        k = jnp.where(va & sel, jnp.int8(1), jnp.int8(0))
+        changed = changed | diffs(r) | diffs(k)
+        any_key = True
+    if not any_key:
+        changed = jnp.concatenate(
+            [jnp.ones((1,), dtype=jnp.bool_), jnp.zeros((n - 1,), dtype=jnp.bool_)]
+        )
+    boundary = changed & sel
+    num_groups = boundary.sum()
+    seg = jnp.maximum(jnp.cumsum(boundary.astype(jnp.int32)) - 1, 0)
+    first_row = jax.ops.segment_min(
+        jnp.where(sel, rowidx, jnp.int32(n)), seg, num_segments=n
+    )
+    return num_groups, seg, first_row
+
+
 def distinct_rows(key_vals, key_valid, sel):
     """First-occurrence distinct row indices over the key tuple (reference:
     query/physicalplan/distinct.go seen-set). Returns (num_distinct,

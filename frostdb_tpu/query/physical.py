@@ -504,11 +504,160 @@ class HashAggregate(PhysicalOperator):
         return Diagram(f"HashAggregate ({names} by {groupings})", child)
 
 
-def make_aggregate(aggregation, final_stage: bool) -> HashAggregate:
+class OrderedAggregate(HashAggregate):
+    """Streaming aggregation over sorted input (reference:
+    ordered_aggregate.go). Groups are emitted in key order; the grouping pass
+    is sort-free (``ordered_group_ids``) when the input arrived as a single
+    sorted stream, falling back to sort + group when multiple out-of-order
+    parts were merged (the reference's Finish-time MergeRecords +
+    re-aggregation, ordered_aggregate.go:163)."""
+
+    def _aggregate(self):
+        if not self._batches:
+            return None
+        single_sorted = len(self._batches) == 1
+        out = None
+        if single_sorted:
+            out = self._aggregate_ordered(self._batches[0])
+            self._batches = []
+        if out is None:
+            # Fall back to the exact sorted-group kernel; sort emission by
+            # key order to match ordered semantics.
+            out = super()._aggregate()
+            if out is not None and self.group_exprs:
+                names = [
+                    c.name
+                    for c in out.columns
+                    if any(g.matches_column(c.name) for g in self.group_exprs)
+                ]
+                from ..schema import SortingColumnDef
+
+                sorting = [(n, SortingColumnDef(n, "asc", True)) for n in names]
+                out = out.sort_by(sorting)
+        return out
+
+    def _aggregate_ordered(self, batch: ColumnBatch):
+        n = batch.num_rows
+        if n == 0:
+            return None
+        group_cols: list[Column] = []
+        seen: set[str] = set()
+        for ge in self.group_exprs:
+            for c in batch.columns:
+                if ge.matches_column(c.name) and c.name not in seen:
+                    seen.add(c.name)
+                    group_cols.append(c)
+        agg_specs = []
+        seen_aggs = set()
+        for func, inner, result_name in self.aggregations:
+            if result_name in seen_aggs:
+                continue
+            seen_aggs.add(result_name)
+            src = batch.column(result_name) if self.final_stage else None
+            if src is None:
+                src = _eval_value(batch, inner)
+            if src is None:
+                src = Column.all_null(result_name, KIND_INT64, n)
+            agg_specs.append((func, src, result_name))
+
+        from ..device import DeviceBatch
+        import jax.numpy as jnp
+
+        dev = DeviceBatch(batch)
+        sel = dev.row_valid_mask()
+        key_vals = []
+        key_valid = []
+        for c in group_cols:
+            dc = dev.column(c.name) if batch.column(c.name) is c else dev._upload(c)
+            key_vals.append(dc.data)
+            key_valid.append(dc.validity)
+        ng, seg, first_row = K.ordered_group_ids(
+            tuple(key_vals), tuple(key_valid), sel
+        )
+        ng = int(ng)
+        identity = jnp.arange(dev.n_pad, dtype=jnp.int32)
+        out_cols: list[Column] = []
+        fr = np.minimum(np.asarray(first_row), dev.n_pad - 1)[:ng]
+        for c in group_cols:
+            out_cols.append(
+                Column(
+                    c.name,
+                    c.kind,
+                    c.values[fr[fr < n]] if ng else c.values[:0],
+                    c.validity[fr[fr < n]] if ng else c.validity[:0],
+                    c.dictionary,
+                )
+            )
+        for func, src, result_name in agg_specs:
+            if batch.column(src.name) is src:
+                dc = dev.column(src.name)
+            else:
+                dc = dev._upload(src)
+            table = _FINAL_AGG_FUNC if self.final_stage else _PARTIAL_AGG_FUNC
+            o, vo = K.segment_agg(
+                dc.data, dc.validity, identity, sel, seg, identity, table[func]
+            )
+            vals = np.asarray(o)[:ng]
+            valid = np.asarray(vo)[:ng]
+            kind = src.kind
+            if func == E.AGG_COUNT:
+                kind = KIND_INT64
+                vals = vals.astype(np.int64)
+            else:
+                vals = vals.astype(src.values.dtype)
+            out_cols.append(Column(result_name, kind, vals, valid))
+        return ColumnBatch(out_cols, ng)
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        names = ",".join(rn for _f, _e, rn in self.aggregations)
+        groupings = ",".join(g.name() for g in self.group_exprs)
+        return Diagram(f"OrderedAggregate ({names} by {groupings})", child)
+
+
+class OrderedSynchronizer(Synchronizer):
+    """Ordered fan-in: merges sorted lane outputs (reference:
+    ordered_synchronizer.go). Single-host lanes are sequential so batches
+    are collected and k-way merged at the barrier."""
+
+    def __init__(self, arity: int, order_by: Sequence[E.Expr]):
+        super().__init__(arity)
+        self.order_by = list(order_by)
+        self._batches: list[ColumnBatch] = []
+
+    def callback(self, batch: ColumnBatch) -> None:
+        self._batches.append(batch)
+
+    def finish(self) -> None:
+        self._finished += 1
+        if self._finished != self.arity:
+            return
+        if self._batches:
+            merged = unify_concat(self._batches)
+            self._batches = []
+            names: list[str] = []
+            for e in self.order_by:
+                for c in merged.columns:
+                    if e.matches_column(c.name):
+                        names.append(c.name)
+            from ..schema import SortingColumnDef
+
+            sorting = [(n, SortingColumnDef(n, "asc", True)) for n in names]
+            merged = merged.sort_by(sorting)
+            self.next.callback(merged)
+        self.next.finish()
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        return Diagram("OrderedSynchronizer", child)
+
+
+def make_aggregate(aggregation, final_stage: bool, ordered: bool = False):
     aggs = []
     for agg in aggregation.agg_exprs:
         aggs.append((agg.func, agg.expr, agg.name()))
-    return HashAggregate(aggs, aggregation.group_exprs, final_stage)
+    cls = OrderedAggregate if ordered else HashAggregate
+    return cls(aggs, aggregation.group_exprs, final_stage)
 
 
 # ---------------------------------------------------------------------------
@@ -654,22 +803,54 @@ class ExecOptions:
         self.ordered_aggregations = ordered_aggregations
 
 
+def _should_plan_ordered(opts: ExecOptions, ordering_ok: bool, node) -> bool:
+    """reference: physicalplan.go:518 shouldPlanOrderedAggregate."""
+    if not opts.ordered_aggregations or not ordering_ok:
+        return False
+    agg = node.aggregation
+    if len(agg.agg_exprs) > 1:
+        return False
+    schema = node.input_schema()
+    if schema is None:
+        return False
+    ordering = list(schema.sorting_columns())
+    for ge in agg.group_exprs:
+        cols = ge.columns_used()
+        if len(cols) != 1 or not ordering:
+            return False
+        oc = ordering.pop(0)
+        cdef = schema.column_by_name(oc.name)
+        name = oc.name + "." if (cdef is not None and cdef.dynamic) else oc.name
+        if not (
+            cols[0].matches_column(oc.name)
+            or cols[0].name().startswith(name)
+            or cols[0].name() == oc.name
+        ):
+            return False
+    return True
+
+
 def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> OutputPlan:
     opts = options or ExecOptions()
     output = OutputPlan()
     prev: list[PhysicalOperator] = []
     visit_err: list[Exception] = []
+    # planOrderingInfo analogue (planordering.go): does stream order still
+    # reflect the schema's sorting columns at this node?
+    ordering_ok = False
 
     def visit(node: LogicalPlan) -> bool:
-        nonlocal prev
+        nonlocal prev, ordering_ok
         if node.table_scan is not None or node.schema_scan is not None:
             plans = [NoopOperator() for _ in range(opts.concurrency)]
             if node.table_scan is not None:
                 output.scan = TableScanExec(node.table_scan, plans)
+                ordering_ok = True
             else:
                 output.scan = SchemaScanExec(node.schema_scan, plans)
             prev = list(plans)
         elif node.projection is not None:
+            ordering_ok = False
             # Wildcard projections are handled by projection pushdown
             # (physicalplan.go:349).
             if any(e.name() == "all" for e in node.projection.exprs):
@@ -679,6 +860,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev[i].set_next(p)
                 prev[i] = p
         elif node.distinct is not None:
+            ordering_ok = False
             sync = Synchronizer(len(prev)) if len(prev) > 1 else None
             for i in range(len(prev)):
                 d = Distinction(node.distinct.exprs)
@@ -709,17 +891,31 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev[i].set_next(f)
                 prev[i] = f
         elif node.aggregation is not None:
-            sync = Synchronizer(len(prev)) if len(prev) > 1 else None
+            ordered = _should_plan_ordered(opts, ordering_ok, node)
+            if len(prev) > 1:
+                if ordered and node.aggregation.group_exprs:
+                    sync = OrderedSynchronizer(
+                        len(prev), node.aggregation.group_exprs
+                    )
+                else:
+                    sync = Synchronizer(len(prev))
+            else:
+                sync = None
             for i in range(len(prev)):
-                a = make_aggregate(node.aggregation, final_stage=sync is None)
+                a = make_aggregate(
+                    node.aggregation, final_stage=sync is None, ordered=ordered
+                )
                 prev[i].set_next(a)
                 prev[i] = a
                 if sync is not None:
                     a.set_next(sync)
             if sync is not None:
-                a = make_aggregate(node.aggregation, final_stage=True)
+                a = make_aggregate(
+                    node.aggregation, final_stage=True, ordered=ordered
+                )
                 sync.set_next(a)
                 prev = [a]
+            ordering_ok = bool(ordered)
         elif node.sample is not None:
             v = int(_lit_value(node.sample.expr))
             limit = int(_lit_value(node.sample.limit))

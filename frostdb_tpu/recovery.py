@@ -38,14 +38,55 @@ def recover_db(db, path: str) -> None:
     if snapshot_tx:
         db.wal.truncate(snapshot_tx + 1)
 
-    # Pass 1: find persisted blocks (design/wal.md:33).
+    # Pass 1: find persisted blocks (design/wal.md:33). A block can also be
+    # proven persisted by its presence in the object-storage bucket — the
+    # WAL entry may live in a truncated segment (the reference dedups bucket
+    # blocks against in-memory blocks by ULID timestamp, store.go:123).
     persisted: dict[str, set[str]] = {}
+    # Block boundaries must come from the FULL wal: a write after the
+    # snapshot can belong to a block whose NewTableBlock entry precedes it
+    # (caught by the DST: snapshot -> write -> rotate+persist -> restart
+    # double-counted the write).
+    block_boundaries: dict[str, list[tuple[int, str]]] = {}
 
     def pass1(header: dict, body: bytes) -> None:
         if header["kind"] == KIND_TABLE_BLOCK_PERSISTED:
             persisted.setdefault(header["table"], set()).add(header["block_id"])
+        elif header["kind"] == KIND_NEW_TABLE_BLOCK:
+            block_boundaries.setdefault(header["table"], []).append(
+                (header["tx"], header["block_id"])
+            )
 
-    db.wal.replay(pass1, from_tx=snapshot_tx + 1)
+    db.wal.replay(pass1, from_tx=0)
+
+    for bounds in block_boundaries.values():
+        bounds.sort(key=lambda b: b[0])
+
+    def block_for_write(table_name: str, tx: int) -> str | None:
+        blk = None
+        for btx, bid in block_boundaries.get(table_name, ()):
+            if btx <= tx:
+                blk = bid
+            else:
+                break
+        return blk
+
+    for source in db.sources:
+        if not hasattr(source, "blocks"):
+            continue
+        for tname in list(db.tables) + source.prefixes(db.name):
+            for block_id in source.blocks(db.name, tname):
+                persisted.setdefault(tname, set()).add(block_id)
+
+    # Snapshot-restored blocks that were later persisted would double-count
+    # with the bucket scan: drop them and start a fresh active block.
+    from .table import TableBlock
+
+    for name, table in db.tables.items():
+        if table.active_block.id in persisted.get(name, set()):
+            table.active_block = TableBlock(
+                table, _fresh_block_id(), min_tx=snapshot_tx
+            )
 
     # Pass 2: recreate tables and re-insert surviving writes.
     current_block: dict[str, str] = {}
@@ -69,7 +110,7 @@ def recover_db(db, path: str) -> None:
             table = db.tables.get(name)
             if table is None:
                 return
-            block = current_block.get(name, table.active_block.id)
+            block = block_for_write(name, tx) or table.active_block.id
             if block in persisted.get(name, set()):
                 return  # write already persisted to object storage
             rb = ipc_to_arrow(body)
@@ -80,6 +121,12 @@ def recover_db(db, path: str) -> None:
 
     db.wal.replay(pass2, from_tx=snapshot_tx + 1)
     db.reset_to_txn(max(snapshot_tx, last_tx))
+
+
+def _fresh_block_id() -> str:
+    import uuid
+
+    return str(uuid.uuid4())
 
 
 def _create_table_no_wal(db, name: str, config: TableConfig):

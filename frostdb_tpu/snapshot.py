@@ -131,9 +131,16 @@ def load_snapshot(db, directory: str) -> int:
         return 0
     with open(path, "rb") as f:
         data = f.read()
+    # Tables are restored without WAL logging: the transaction counter is
+    # still at zero here, and logging a NewTableBlock with a pre-reset tx
+    # would interleave stale txns into old segments (caught by the DST).
+    from .recovery import _create_table_no_wal
+
     for tmeta in footer["tables"]:
         config = TableConfig.from_dict(tmeta["config"])
-        table = db.table(tmeta["name"], config)
+        table = db.tables.get(tmeta["name"])
+        if table is None:
+            table = _create_table_no_wal(db, tmeta["name"], config)
         table.active_block.id = tmeta.get("active_block_id", table.active_block.id)
         for pmeta in tmeta["parts"]:
             payload = data[pmeta["offset"] : pmeta["offset"] + pmeta["length"]]

@@ -135,10 +135,15 @@ class FileWAL:
     # -- replay ------------------------------------------------------------
 
     def replay(self, handler: Callable[[dict, bytes], None], from_tx: int = 0) -> int:
-        """Replay entries with tx >= from_tx in order; returns the max tx
-        seen (reference: wal/wal.go:618 Replay). Corrupt tails truncate."""
+        """Replay entries with tx >= from_tx in global transaction order;
+        returns the max tx seen (reference: wal/wal.go:618 Replay; the
+        reference's writer enforces tx order at log time via its heap,
+        wal/wal.go:360 — here replay sorts, which also tolerates entries
+        appended out of order across segment boundaries). Corrupt tails
+        truncate (self-repair, wal/wal.go:216)."""
         self.flush()
         max_tx = 0
+        collected: list[tuple[int, dict, bytes]] = []
         for seg in self._segments():
             path = os.path.join(self.dir, seg)
             with open(path, "rb") as f:
@@ -167,12 +172,15 @@ class FileWAL:
                 tx = header["tx"]
                 max_tx = max(max_tx, tx)
                 if tx >= from_tx:
-                    handler(header, body)
+                    collected.append((tx, header, body))
             if good_end < len(data):
                 # truncate torn tail (self-repair)
                 self.repairs_lost_records += 1
                 with open(path, "r+b") as f:
                     f.truncate(good_end)
+        collected.sort(key=lambda e: e[0])
+        for _tx, header, body in collected:
+            handler(header, body)
         return max_tx
 
     def first_index(self) -> int:
