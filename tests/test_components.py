@@ -1,0 +1,204 @@
+"""Unit tests for auxiliary components: typed records, ordered aggregation,
+tracing, memory limiter, metrics, dbtool, sampler (reference test files:
+internal/records/record_builder_test.go, ordered_aggregate_test.go,
+query/memory.go, sampler_test.go)."""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pytest
+
+from frostdb_tpu.db import ColumnStore
+from frostdb_tpu.query import expr as E
+from frostdb_tpu.query.engine import LocalEngine
+from frostdb_tpu.query.physical import ExecOptions
+from frostdb_tpu.records import GenericTable, build_batch, schema_for
+from frostdb_tpu.table import TableConfig
+
+
+@dataclass
+class Sample:
+    example_type: str = field(
+        default="", metadata={"rle_dict": True, "asc": 0}
+    )
+    labels: dict = field(
+        default_factory=dict,
+        metadata={"rle_dict": True, "asc": 1, "null_first": True},
+    )
+    timestamp: int = field(default=0, metadata={"asc": 2})
+    value: int = 0
+
+
+def test_schema_for_dataclass():
+    sd = schema_for(Sample)
+    names = [c.name for c in sd.columns]
+    assert names == ["example_type", "labels", "timestamp", "value"]
+    labels = sd.columns[1]
+    assert labels.dynamic
+    sorting = [s.name for s in sd.sorting_columns]
+    assert sorting == ["example_type", "labels", "timestamp"]
+
+
+def test_generic_table_write_and_query():
+    store = ColumnStore()
+    db = store.db("t")
+    table = db.table("samples", TableConfig(schema=schema_for(Sample)))
+    gt = GenericTable(table, Sample)
+    gt.write(
+        Sample("cpu", {"node": "n1"}, 1, 10),
+        Sample("cpu", {"node": "n2"}, 2, 20),
+        Sample("mem", {"node": "n1", "pod": "p"}, 3, 30),
+    )
+    engine = LocalEngine(db.table_provider())
+    out = []
+    engine.scan_table("samples").aggregate(
+        [E.Sum(E.Col("value"))], [E.Col("example_type")]
+    ).execute(out.append)
+    res = {
+        out[0].column("example_type").py_value(i): int(
+            out[0].column("sum(value)").values[i]
+        )
+        for i in range(out[0].num_rows)
+    }
+    assert res == {"cpu": 30, "mem": 30}
+
+
+def test_ordered_aggregation_via_builder():
+    """Builder-direct aggregation with ordered aggregations enabled plans
+    OrderedAggregate when groups prefix-match sorting columns (reference:
+    shouldPlanOrderedAggregate physicalplan.go:518)."""
+    from frostdb_tpu.query.optimize import optimize
+    from frostdb_tpu.query.physical import OrderedAggregate, build_physical
+    from frostdb_tpu.query.logical import Builder
+    from frostdb_tpu.schema import sample_definition
+    from tests.test_db import _make_batch
+
+    store = ColumnStore()
+    db = store.db("t")
+    table = db.table("s", TableConfig(schema=sample_definition()))
+    table.insert_record(_make_batch(table))
+
+    plan = (
+        Builder()
+        .scan(db.table_provider(), "s")
+        .aggregate([E.Sum(E.Col("value"))], [E.Col("example_type")])
+        .build()
+    )
+    plan = optimize(plan)
+    output = build_physical(plan, ExecOptions(ordered_aggregations=True))
+    assert "OrderedAggregate" in output.draw_string()
+    results = []
+    output.execute(results.append)
+    assert int(results[0].column("sum(value)").values[0]) == 6
+
+    # and without the option, HashAggregate
+    plan2 = (
+        Builder()
+        .scan(db.table_provider(), "s")
+        .aggregate([E.Sum(E.Col("value"))], [E.Col("example_type")])
+        .build()
+    )
+    plan2 = optimize(plan2)
+    out2 = build_physical(plan2, ExecOptions())
+    assert "HashAggregate" in out2.draw_string()
+    r2 = []
+    out2.execute(r2.append)
+    assert int(r2[0].column("sum(value)").values[0]) == 6
+
+
+def test_tracer_spans():
+    from frostdb_tpu.tracing import Tracer
+
+    t = Tracer()
+    with t.span("query", table="t") as s:
+        with t.span("scan"):
+            pass
+        with t.span("aggregate"):
+            pass
+    assert len(t.roots) == 1
+    root = t.roots[0].to_dict()
+    assert root["name"] == "query"
+    assert [c["name"] for c in root["children"]] == ["scan", "aggregate"]
+
+
+def test_memory_limiter():
+    from frostdb_tpu.memorylimit import LimitAllocator, MemoryLimitExceeded
+
+    a = LimitAllocator(1000)
+    a.allocate(600)
+    with pytest.raises(MemoryLimitExceeded):
+        a.allocate(600)
+    a.free(600)
+    a.allocate(600)
+    assert a.allocated() == 600
+
+
+def test_metrics_registry():
+    from frostdb_tpu.metrics import MetricsRegistry
+
+    m = MetricsRegistry()
+    tm = m.table_metrics("db", "t")
+    tm.rows_inserted.inc(5)
+    tm.active_block_size.set(123)
+    text = m.expose()
+    assert "rows_inserted" in text and "5.0" in text
+
+
+def test_reservoir_sampler():
+    from frostdb_tpu.query.physical import OutputPlan, ReservoirSampler
+    from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_INT64
+
+    s = ReservoirSampler(size=10, byte_limit=1 << 20, seed=42)
+    sink = []
+
+    class Sink:
+        def callback(self, b):
+            sink.append(b)
+
+        def finish(self):
+            pass
+
+    s.set_next(Sink())
+    n = 500
+    batch = ColumnBatch(
+        [
+            Column(
+                "x",
+                KIND_INT64,
+                np.arange(n, dtype=np.int64),
+                np.ones(n, dtype=bool),
+            )
+        ],
+        n,
+    )
+    s.callback(batch)
+    s.finish()
+    total = sum(b.num_rows for b in sink)
+    assert total == 10
+    vals = [int(v) for b in sink for v in b.column("x").values]
+    assert len(set(vals)) == 10 and all(0 <= v < n for v in vals)
+
+
+def test_dbtool_snapshot_and_wal(tmp_path, capsys):
+    from frostdb_tpu.snapshot import write_snapshot
+    from frostdb_tpu.tools.dbtool import main as dbtool_main
+    from frostdb_tpu.schema import sample_definition
+    from tests.test_db import _make_batch
+    import os
+
+    store = ColumnStore(storage_path=str(tmp_path), enable_wal=True)
+    db = store.db("x")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    table.insert_record(_make_batch(table))
+    tx = write_snapshot(db, db.snapshot_dir)
+    store.close()
+
+    snap = os.path.join(db.snapshot_dir, f"{tx:020d}.fdbt")
+    dbtool_main(["snapshot", snap])
+    out = capsys.readouterr().out
+    assert f"snapshot tx: {tx}" in out
+
+    wal_dir = os.path.join(str(tmp_path), "databases", "x", "wal")
+    dbtool_main(["wal", wal_dir])
+    out = capsys.readouterr().out
+    assert "entries:" in out and "write" in out
