@@ -73,12 +73,37 @@ def kind_for_layout(layout: StorageLayout) -> str:
     raise ValueError(f"unsupported storage type {t!r}")
 
 
+_M1 = 0xFF51AFD7ED558CCD
+_M2 = 0xC4CEB9FE1A85EC53
+_M3 = 0x9DDFEA08EB382D69
+_MASK = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    x ^= x >> 33
+    x = (x * _M1) & _MASK
+    x ^= x >> 33
+    x = (x * _M2) & _MASK
+    x ^= x >> 33
+    return x
+
+
 def _hash64(s: str) -> int:
     """Deterministic 64-bit string hash used for pre-hashed columns
-    (reference: dynparquet/hashed.go:86 `HashArray` uses metro-hash; any
-    deterministic 64-bit hash serves, values are engine-internal)."""
-    d = hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
-    return int.from_bytes(d, "little", signed=True)
+    (reference: dynparquet/hashed.go:86 `HashArray` uses metro-hash).
+    Mirrors native/frostdb_native.cpp hash_bytes so native and Python
+    dictionaries produce identical pre-hash columns."""
+    data = s.encode("utf-8", "surrogateescape")
+    n = len(data)
+    h = (0x9E3779B97F4A7C15 ^ n) & _MASK
+    i = 0
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h = (_mix64(h ^ k) * _M3) & _MASK
+        i += 8
+    tail = int.from_bytes(data[i:], "little") if i < n else 0
+    h = _mix64(h ^ tail)
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 class Dictionary:
@@ -88,36 +113,63 @@ class Dictionary:
     written at different times remain directly comparable — the analogue of
     the reference re-dictionarifying on merge (pqarrow/arrowutils/sort.go
     dictionary Take path), hoisted to ingest time.
+
+    Backed by the native C++ runtime (native/frostdb_native.cpp) when the
+    toolchain is available; the pure-Python fallback is hash-identical.
     """
 
-    def __init__(self) -> None:
-        self.values: list[str] = []
+    def __init__(self, use_native: bool | None = None) -> None:
+        self._native = None
+        if use_native is not False:
+            from . import native as _native_mod
+
+            if _native_mod.available():
+                self._native = _native_mod.NativeDict()
+        self._values: list[str] = []
         self._index: dict[str, int] = {}
         self._hashes: list[int] = []
 
     def __len__(self) -> int:
-        return len(self.values)
+        if self._native is not None:
+            return len(self._native)
+        return len(self._values)
+
+    @property
+    def values(self) -> list[str]:
+        if self._native is not None:
+            return self._native.values()
+        return self._values
 
     def code(self, value: str) -> int:
+        if self._native is not None:
+            codes, _valid = self._native.encode_batch([value])
+            return int(codes[0])
         c = self._index.get(value)
         if c is None:
-            c = len(self.values)
-            self.values.append(value)
+            c = len(self._values)
+            self._values.append(value)
             self._index[value] = c
             self._hashes.append(_hash64(value))
         return c
 
     def lookup(self, value: str) -> int | None:
         """Code for value, or None if the value has never been seen."""
+        if self._native is not None:
+            return self._native.lookup(value)
         return self._index.get(value)
 
     def hash_for_code(self) -> np.ndarray:
+        if self._native is not None:
+            return self._native.hashes()
         return np.asarray(self._hashes, dtype=np.int64)
 
     def encode(self, values: Iterable[str | None]) -> tuple[np.ndarray, np.ndarray]:
+        vals = list(values)
+        if self._native is not None:
+            return self._native.encode_batch(vals)
         codes: list[int] = []
         valid: list[bool] = []
-        for v in values:
+        for v in vals:
             if v is None:
                 codes.append(0)
                 valid.append(False)
@@ -136,7 +188,8 @@ class Dictionary:
         """rank[code] = position of the code's value in sorted value order.
         Used to sort rows by string value while the device representation
         stays code-based."""
-        vals = np.asarray(self.values, dtype="U") if self.values else np.asarray([], dtype="U")
+        values = self.values
+        vals = np.asarray(values, dtype="U") if values else np.asarray([], dtype="U")
         order = np.argsort(vals, kind="stable")
         ranks = np.empty(len(order), dtype=np.int64)
         ranks[order] = np.arange(len(order), dtype=np.int64)
