@@ -105,12 +105,22 @@ def recover_db(db, path: str) -> None:
                 table = _create_table_no_wal(db, name, config)
             current_block[name] = header["block_id"]
             table.active_block.id = header["block_id"]
+            # Replayed writes rebuild this block from scratch; stale on-disk
+            # index frames from the previous run would double-count at the
+            # next snapshot link.
+            table.active_block.reattach_disk()
+            if table.active_block.disk_level is not None:
+                table.active_block.disk_level.delete_all()
         elif kind == KIND_WRITE:
             name = header["table"]
             table = db.tables.get(name)
             if table is None:
                 return
-            block = block_for_write(name, tx) or table.active_block.id
+            block = (
+                header.get("block_id")
+                or block_for_write(name, tx)
+                or table.active_block.id
+            )
             if block in persisted.get(name, set()):
                 return  # write already persisted to object storage
             rb = ipc_to_arrow(body)

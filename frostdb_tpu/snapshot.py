@@ -46,14 +46,21 @@ def write_snapshot(db, directory: str) -> int:
         f.write(MAGIC)
         offset = len(MAGIC)
         for name, table in db.tables.items():
+            block = table.active_block
             tmeta = {
                 "name": name,
                 "config": table.config.to_dict(),
-                "active_block_id": table.active_block.id,
+                "active_block_id": block.id,
                 "parts": [],
+                "index_files": [],
             }
-            for part in table.active_block.index.snapshot():
+            disk = block.disk_level
+            for part in block.index.snapshot():
                 if part.tx > tx:
+                    continue
+                if disk is not None and part.compaction_level >= disk.level:
+                    # Covered by hard-linked index files below — not copied
+                    # (design/index_files.md Snapshots; snapshot.go:730).
                     continue
                 payload = batch_to_ipc(part.batch)
                 f.write(payload)
@@ -66,6 +73,12 @@ def write_snapshot(db, directory: str) -> int:
                     }
                 )
                 offset += len(payload)
+            if disk is not None:
+                link_dir = os.path.join(
+                    directory, f"{tx:020d}.index", name, str(disk.level)
+                )
+                tmeta["index_files"] = disk.snapshot_link(link_dir)
+                tmeta["index_level"] = disk.level
             footer["tables"].append(tmeta)
         fb = json.dumps(footer).encode("utf-8")
         f.write(fb)
@@ -142,20 +155,48 @@ def load_snapshot(db, directory: str) -> int:
         if table is None:
             table = _create_table_no_wal(db, tmeta["name"], config)
         table.active_block.id = tmeta.get("active_block_id", table.active_block.id)
+        table.active_block.reattach_disk()
+        if table.active_block.disk_level is not None:
+            # Clear stale live index files: the snapshot's linked files are
+            # authoritative; anything newer re-derives from the WAL tail
+            # (keeping them would double-count on the next snapshot link).
+            table.active_block.disk_level.delete_all()
         for pmeta in tmeta["parts"]:
             payload = data[pmeta["offset"] : pmeta["offset"] + pmeta["length"]]
             rb = ipc_to_arrow(payload)
             batch = ColumnBatch.from_arrow(rb, get_dictionary=table.dictionary)
             part = Part(batch, pmeta["tx"], pmeta["level"])
             table.active_block.index.insert_part(part)
+        # Disk-level parts come from the hard-linked index files
+        # (restoreIndexFilesFromSnapshot, snapshot.go:730); relink them into
+        # the live index dir so future snapshots can link again.
+        if tmeta.get("index_files"):
+            from .disklevel import DiskLevel
+
+            level = tmeta.get("index_level", 2)
+            link_dir = os.path.join(
+                directory, f"{tx:020d}.index", tmeta["name"], str(level)
+            )
+            if os.path.isdir(link_dir):
+                snap_level = DiskLevel(link_dir, level)
+                disk = table.active_block.disk_level
+                for part in snap_level.recover(table.dictionary):
+                    table.active_block.index.insert_part(part)
+                    if disk is not None:
+                        disk.write_part(part)
     db.reset_to_txn(tx)
     return tx
 
 
 def cleanup_old_snapshots(directory: str, keep_tx: int) -> None:
+    import shutil
+
     for tx in list_snapshot_txns(directory):
         if tx < keep_tx:
             try:
                 os.remove(snapshot_path(directory, tx))
             except OSError:
                 pass
+            shutil.rmtree(
+                os.path.join(directory, f"{tx:020d}.index"), ignore_errors=True
+            )

@@ -8,6 +8,7 @@ table.go:872 SchemaIterator).
 
 from __future__ import annotations
 
+import os
 import threading
 import uuid
 from dataclasses import dataclass, field
@@ -63,7 +64,10 @@ DEFAULT_LEVELS = [
 
 
 class TableBlock:
-    """Active block: one LSM + its ULID (reference: table.go:298)."""
+    """Active block: one LSM + its ULID (reference: table.go:298). When the
+    store has a storage path, the final level spills compacted parts into
+    persistent on-disk index files (disklevel.py; reference:
+    index/levels.go FileCompaction)."""
 
     def __init__(self, table: "Table", block_id: str, min_tx: int):
         self.table = table
@@ -77,12 +81,51 @@ class TableBlock:
         self.index = LSM(cfgs)
         self.index.watermark = lambda: table.db.high_watermark() if table.db else 2**63
         self._size = 0
+        self.disk_level = None
+        final = DEFAULT_LEVELS[-1].level
+        d = table.index_dir()
+        if d is not None:
+            from .disklevel import DiskLevel
+
+            self.disk_level = DiskLevel(
+                os.path.join(d, self.id, str(final)), final
+            )
+        self._final_level = final
 
     def _compact_fn(self, level: int):
         def compact(parts: list[Part]) -> list[Part]:
-            return [self.table.compact_parts(parts)]
+            merged = self.table.compact_parts(parts)
+            if self.disk_level is not None and level + 1 >= self._final_level:
+                merged.compaction_level = self._final_level
+                self.disk_level.write_part(merged)
+            return [merged]
 
         return compact
+
+    def reattach_disk(self) -> None:
+        """Re-point the disk level after the block id is restored from a
+        snapshot (recovery path)."""
+        d = self.table.index_dir()
+        if d is None:
+            self.disk_level = None
+            return
+        from .disklevel import DiskLevel
+
+        self.disk_level = DiskLevel(
+            os.path.join(d, self.id, str(self._final_level)), self._final_level
+        )
+
+    def delete_index_files(self) -> None:
+        """Block rotation drops the whole block index dir
+        (design/index_files.md Rotation)."""
+        if self.disk_level is None:
+            return
+        self.disk_level.delete_all()
+        import shutil
+
+        d = self.table.index_dir()
+        if d is not None:
+            shutil.rmtree(os.path.join(d, self.id), ignore_errors=True)
 
     def insert(self, tx: int, batch: ColumnBatch) -> None:
         self.index.add(tx, batch)
@@ -108,6 +151,19 @@ class Table:
 
     def schema(self) -> Schema:
         return self._schema
+
+    def index_dir(self):
+        """databases/<db>/index/<table>/ when durably stored (reference:
+        design/index_files.md path layout)."""
+        if self.db is None or getattr(self.db, "store", None) is None:
+            return None
+        if self.db.store is None or self.db.store.storage_path is None:
+            return None
+        import os as _os
+
+        return _os.path.join(
+            self.db.store.db_path(self.db.name), "index", self.name
+        )
 
     def dictionary(self, family: str) -> Dictionary:
         d = self.dictionaries.get(family)
@@ -140,7 +196,7 @@ class Table:
             tx = 1
 
         if self.db is not None and self.db.wal is not None and not self.config.disable_wal:
-            self.db.wal.log_record(tx, self.name, batch)
+            self.db.wal.log_record(tx, self.name, batch, self.active_block.id)
 
         self.active_block.insert(tx, batch)
 
@@ -178,6 +234,7 @@ class Table:
             if self.db.wal is not None and not self.config.disable_wal:
                 self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
             self.db.commit(ptx)
+            old.delete_index_files()
             self.db.maintain_wal()
         else:
             # No sink: keep the block readable in memory.

@@ -104,8 +104,14 @@ class FileWAL:
                 self._file.flush()
                 os.fsync(self._file.fileno())
 
-    def log_record(self, tx: int, table: str, batch) -> None:
-        self._append(tx, KIND_WRITE, {"table": table}, batch_to_ipc(batch))
+    def log_record(self, tx: int, table: str, batch, block_id: str = "") -> None:
+        # The owning block id is stamped on every write so recovery can skip
+        # persisted-block writes even when the block's NewTableBlock entry
+        # lives in a truncated segment (caught by the DST).
+        self._append(
+            tx, KIND_WRITE, {"table": table, "block_id": block_id},
+            batch_to_ipc(batch),
+        )
 
     def log_new_table_block(self, tx: int, table: str, block_id: str, config) -> None:
         self._append(

@@ -27,6 +27,7 @@ N_COMMANDS = 400
 WEIGHTS = {
     "insert": 0.75,
     "compact": 0.25,
+    "compact_l1": 0.10,  # spills into the disk-backed final level
     "snapshot": 0.10,
     "rotate": 0.05,
     "restart": 0.01,
@@ -103,6 +104,8 @@ def test_dst(tmp_path, seed):
             written += n
         elif cmd == "compact":
             table.active_block.index.compact_level(0)
+        elif cmd == "compact_l1":
+            table.active_block.index.compact_level(1)
         elif cmd == "snapshot":
             write_snapshot(db, db.snapshot_dir)
         elif cmd == "rotate":
