@@ -26,6 +26,8 @@ class LocalEngine:
     ):
         self.table_provider = table_provider
         self.exec_options = exec_options or ExecOptions()
+        if allocator is not None:
+            self.exec_options.allocator = allocator
         self.allocator = allocator
 
     def scan_table(self, name: str) -> "LocalQueryBuilder":

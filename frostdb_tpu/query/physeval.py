@@ -281,6 +281,30 @@ def project_expr(batch: ColumnBatch, expr: E.Expr) -> list[Column]:
         if out is None:
             return []
         return [out]
+    if isinstance(expr, E.IfExpr):
+        # reference: project.go:615 ifExprProjection
+        cond = filter_mask(batch, expr.cond)
+        then_col = _eval_value(batch, expr.then)
+        else_col = _eval_value(batch, expr.els)
+        if then_col is None and else_col is None:
+            return []
+        template = then_col or else_col
+        import numpy as _np
+
+        n2 = batch.num_rows
+        tvals = then_col.values if then_col is not None else _np.zeros(n2, template.values.dtype)
+        tvalid = then_col.validity if then_col is not None else _np.zeros(n2, bool)
+        evals = else_col.values if else_col is not None else _np.zeros(n2, template.values.dtype)
+        evalid = else_col.validity if else_col is not None else _np.zeros(n2, bool)
+        return [
+            Column(
+                expr.name(),
+                template.kind,
+                _np.where(cond, tvals, evals),
+                _np.where(cond, tvalid, evalid),
+                template.dictionary,
+            )
+        ]
     if isinstance(expr, E.IsNullExpr):
         inner = _eval_value(batch, expr.expr)
         if inner is None:

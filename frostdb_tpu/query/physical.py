@@ -373,7 +373,7 @@ class HashAggregate(PhysicalOperator):
     stream order, matching the reference's insertion-ordered group map.
     """
 
-    def __init__(self, aggregations, group_exprs, final_stage: bool):
+    def __init__(self, aggregations, group_exprs, final_stage: bool, allocator=None):
         super().__init__()
         # aggregations: list of (func, inner_expr, result_name); duplicates
         # preserved for draw parity, deduped for execution (the reference
@@ -381,13 +381,24 @@ class HashAggregate(PhysicalOperator):
         self.aggregations = list(aggregations)
         self.group_exprs = list(group_exprs)
         self.final_stage = final_stage
+        self.allocator = allocator
+        self._allocated = 0
         self._batches: list[ColumnBatch] = []
 
     def callback(self, batch: ColumnBatch) -> None:
+        if self.allocator is not None:
+            nbytes = sum(
+                c.values.nbytes + c.validity.nbytes for c in batch.columns
+            )
+            self.allocator.allocate(nbytes)
+            self._allocated += nbytes
         self._batches.append(batch)
 
     def finish(self) -> None:
         out = self._aggregate()
+        if self.allocator is not None and self._allocated:
+            self.allocator.free(self._allocated)
+            self._allocated = 0
         if out is not None:
             self.next.callback(out)
         self.next.finish()
@@ -652,12 +663,12 @@ class OrderedSynchronizer(Synchronizer):
         return Diagram("OrderedSynchronizer", child)
 
 
-def make_aggregate(aggregation, final_stage: bool, ordered: bool = False):
+def make_aggregate(aggregation, final_stage: bool, ordered: bool = False, allocator=None):
     aggs = []
     for agg in aggregation.agg_exprs:
         aggs.append((agg.func, agg.expr, agg.name()))
     cls = OrderedAggregate if ordered else HashAggregate
-    return cls(aggs, aggregation.group_exprs, final_stage)
+    return cls(aggs, aggregation.group_exprs, final_stage, allocator)
 
 
 # ---------------------------------------------------------------------------
@@ -667,16 +678,27 @@ def make_aggregate(aggregation, final_stage: bool, ordered: bool = False):
 class Distinction(PhysicalOperator):
     """reference: query/physicalplan/distinct.go."""
 
-    def __init__(self, exprs: Sequence[E.Expr]):
+    def __init__(self, exprs: Sequence[E.Expr], allocator=None):
         super().__init__()
         self.exprs = list(exprs)
+        self.allocator = allocator
+        self._allocated = 0
         self._batches: list[ColumnBatch] = []
 
     def callback(self, batch: ColumnBatch) -> None:
+        if self.allocator is not None:
+            nbytes = sum(
+                c.values.nbytes + c.validity.nbytes for c in batch.columns
+            )
+            self.allocator.allocate(nbytes)
+            self._allocated += nbytes
         self._batches.append(batch)
 
     def finish(self) -> None:
         out = self._distinct()
+        if self.allocator is not None and self._allocated:
+            self.allocator.free(self._allocated)
+            self._allocated = 0
         if out is not None and out.num_rows > 0:
             self.next.callback(out)
         self.next.finish()
@@ -798,9 +820,17 @@ DEFAULT_CONCURRENCY = 4  # logical lanes (reference: GOMAXPROCS fan-out)
 
 
 class ExecOptions:
-    def __init__(self, concurrency: int = DEFAULT_CONCURRENCY, ordered_aggregations: bool = False):
+    def __init__(
+        self,
+        concurrency: int = DEFAULT_CONCURRENCY,
+        ordered_aggregations: bool = False,
+        allocator=None,
+    ):
         self.concurrency = concurrency
         self.ordered_aggregations = ordered_aggregations
+        # LimitAllocator for per-query memory limiting (reference:
+        # query/memory.go; wired into the accumulate points).
+        self.allocator = allocator
 
 
 def _should_plan_ordered(opts: ExecOptions, ordering_ok: bool, node) -> bool:
@@ -863,13 +893,13 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
             ordering_ok = False
             sync = Synchronizer(len(prev)) if len(prev) > 1 else None
             for i in range(len(prev)):
-                d = Distinction(node.distinct.exprs)
+                d = Distinction(node.distinct.exprs, opts.allocator)
                 prev[i].set_next(d)
                 prev[i] = d
                 if sync is not None:
                     d.set_next(sync)
             if sync is not None:
-                d = Distinction(node.distinct.exprs)
+                d = Distinction(node.distinct.exprs, opts.allocator)
                 sync.set_next(d)
                 prev = [d]
         elif node.limit is not None:
@@ -903,7 +933,10 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 sync = None
             for i in range(len(prev)):
                 a = make_aggregate(
-                    node.aggregation, final_stage=sync is None, ordered=ordered
+                    node.aggregation,
+                    final_stage=sync is None,
+                    ordered=ordered,
+                    allocator=opts.allocator,
                 )
                 prev[i].set_next(a)
                 prev[i] = a
@@ -911,7 +944,10 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                     a.set_next(sync)
             if sync is not None:
                 a = make_aggregate(
-                    node.aggregation, final_stage=True, ordered=ordered
+                    node.aggregation,
+                    final_stage=True,
+                    ordered=ordered,
+                    allocator=opts.allocator,
                 )
                 sync.set_next(a)
                 prev = [a]

@@ -202,3 +202,32 @@ def test_dbtool_snapshot_and_wal(tmp_path, capsys):
     dbtool_main(["wal", wal_dir])
     out = capsys.readouterr().out
     assert "entries:" in out and "write" in out
+
+
+def test_query_memory_limit():
+    """reference: Test_DB_Limiter db_test.go:1666 — a query exceeding the
+    limit fails with 'memory limit exceeded', others succeed."""
+    from frostdb_tpu.memorylimit import LimitAllocator, MemoryLimitExceeded
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.table import TableConfig
+    from tests.test_db import _make_batch
+
+    store = ColumnStore()
+    db = store.db("lim")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    table.insert_record(_make_batch(table, n=100))
+
+    tiny = LocalEngine(db.table_provider(), allocator=LimitAllocator(64))
+    with pytest.raises(MemoryLimitExceeded):
+        tiny.scan_table("t").aggregate(
+            [E.Sum(E.Col("value"))], [E.Col("example_type")]
+        ).execute(lambda b: None)
+
+    roomy = LocalEngine(
+        db.table_provider(), allocator=LimitAllocator(10 * 1024 * 1024)
+    )
+    out = []
+    roomy.scan_table("t").aggregate(
+        [E.Sum(E.Col("value"))], [E.Col("example_type")]
+    ).execute(out.append)
+    assert out
