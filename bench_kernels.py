@@ -1,0 +1,142 @@
+"""Per-operator kernel microbenchmarks vs the HBM roofline.
+
+(SURVEY.md §6: "each operator benchmarked against speed-of-light memory
+bandwidth per chip".) Methodology matches bench.py: device-resident data,
+dependency-chained unique executions, one host fetch at the end — the axon
+tunnel's RTT is paid once and value-memoization is defeated by unique
+per-iteration scalars.
+
+Run: python bench_kernels.py
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import frostdb_tpu.config  # noqa: F401  (enables x64)
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    n = 1 << 25 if on_tpu else 1 << 20
+    iters = 12 if on_tpu else 2
+
+    def make(seed, n_rows=n):
+        i = jnp.arange(n_rows, dtype=jnp.uint32) + seed * jnp.uint32(0x9E3779B9)
+        h = (i * jnp.uint32(2654435761)) ^ (i >> 16)
+        return h
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gen64(seed):
+        return make(seed).astype(jnp.int64)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gen32(seed):
+        return make(seed).astype(jnp.int32)
+
+    datasets64 = [jax.block_until_ready(gen64(jnp.uint32(s))) for s in range(4)]
+    datasets32 = [jax.block_until_ready(gen32(jnp.uint32(s))) for s in range(4)]
+
+    def chain(fn, datasets, bytes_per_row):
+        """Time iters chained unique executions (best of two passes);
+        returns (rows/s, GB/s)."""
+        best = 0.0
+        for _pass in range(2):
+            r = _chain_once(fn, datasets)
+            best = max(best, r)
+        return best, best * bytes_per_row / 1e9
+
+    def _chain_once(fn, datasets):
+        carry = jnp.int64(0)
+        # warm/compile
+        out = fn(datasets[0], carry, jnp.int32(1))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for it in range(iters):
+            out = fn(datasets[it % len(datasets)], carry, jnp.int32(100 + it))
+            carry = jnp.asarray(out, dtype=jnp.int64).reshape(-1)[0]
+        _ = np.asarray(carry)
+        dt = time.perf_counter() - t0
+        return n * iters / dt
+
+    results = {}
+
+    # roofline probe: read + write n int32 (8 B/row of traffic)
+    @jax.jit
+    def copy_probe(x, carry, salt):
+        y = x + salt + jnp.minimum(carry, 0).astype(jnp.int32)
+        return y.sum(dtype=jnp.int64)
+
+    # NB: sum forces full read; the +salt write may fuse away, so this
+    # measures read bandwidth (4 B/row).
+    rows, gbs = chain(copy_probe, datasets32, 4)
+    results["read-reduce int32 (4B/row)"] = (rows, gbs)
+
+    @jax.jit
+    def filter_count(x, carry, salt):
+        lit = salt.astype(jnp.int64) + jnp.minimum(carry, 0)
+        return (x >= lit).sum(dtype=jnp.int64)
+
+    rows, gbs = chain(filter_count, datasets64, 8)
+    results["filter mask int64 (8B/row)"] = (rows, gbs)
+
+    @jax.jit
+    def dense_reduce(x, carry, salt):
+        from frostdb_tpu.ops.kernels import dense_group_reduce
+
+        codes = (x & 63).astype(jnp.int32)
+        sel = x >= (salt.astype(jnp.int64) + jnp.minimum(carry, 0))
+        return dense_group_reduce(codes, x, sel, 64, "sum")
+
+    rows, gbs = chain(dense_reduce, datasets64, 8)
+    results["segment_sum K=64 (8B/row)"] = (rows, gbs)
+
+    @jax.jit
+    def pallas_agg(x, carry, salt):
+        from frostdb_tpu.ops.pallas_agg import pallas_filter_group_sum_count
+
+        x32 = x.astype(jnp.int32)
+        codes = (x32 & 63).reshape(-1, 128)
+        vals = ((x32 >> 6) & 1023).reshape(-1, 128)
+        ts = (x32 & 127).reshape(-1, 128)
+        lit = salt + jnp.minimum(carry, 0).astype(jnp.int32)
+        s, c = pallas_filter_group_sum_count(codes, vals, ts, lit, 64)
+        return s
+
+    if on_tpu:
+        rows, gbs = chain(pallas_agg, datasets64, 12)
+        results["pallas fused filter+agg (12B/row)"] = (rows, gbs)
+
+    @jax.jit
+    def full_sort(x, carry, salt):
+        y = x + salt.astype(jnp.int64) + jnp.minimum(carry, 0)
+        return jnp.sort(y)[0]
+
+    rows, gbs = chain(full_sort, datasets64, 8)
+    results["radix sort int64 (8B/row in)"] = (rows, gbs)
+
+    @jax.jit
+    def gather_take(x, carry, salt):
+        idx = ((x + salt.astype(jnp.int64) + jnp.minimum(carry, 0)) & (n - 1)).astype(
+            jnp.int32
+        )
+        return jnp.take(x, idx).sum(dtype=jnp.int64)
+
+    rows, gbs = chain(gather_take, datasets64, 24)
+    results["random take/gather (24B/row)"] = (rows, gbs)
+
+    peak = max(g for _r, g in results.values())
+    print(f"platform: {dev.platform}  rows/iter: {n}")
+    print(f"{'kernel':40s} {'B rows/s':>10s} {'GB/s':>8s} {'%peak-meas':>10s}")
+    for name, (r, g) in results.items():
+        print(f"{name:40s} {r/1e9:>10.2f} {g:>8.1f} {100*g/peak:>9.1f}%")
+
+
+if __name__ == "__main__":
+    main()
