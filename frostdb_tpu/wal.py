@@ -55,6 +55,11 @@ def ipc_to_arrow(data: bytes) -> pa.RecordBatch:
 
 class FileWAL:
     def __init__(self, directory: str, sync: bool = True):
+        """sync=True: every entry is fsync'd before the call returns.
+        sync=False: entries enqueue to a background batcher thread that
+        drains them in tx order and fsyncs once per batch — the reference's
+        async process loop (wal/wal.go:360 pops a tx-ordered heap and
+        batches into the segment store)."""
         self.dir = directory
         os.makedirs(directory, exist_ok=True)
         self.sync = sync
@@ -64,6 +69,41 @@ class FileWAL:
         self._segment_size = 0
         self.repairs = 0
         self.repairs_lost_records = 0
+        self._queue: list[tuple[int, bytes]] = []
+        self._cv = threading.Condition()
+        self._closing = False
+        self._thread: Optional[threading.Thread] = None
+        if not sync:
+            self._thread = threading.Thread(
+                target=self._process_loop, name="frostdb-wal", daemon=True
+            )
+            self._thread.start()
+
+    def _process_loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._closing:
+                    self._cv.wait()
+                batch = self._queue
+                self._queue = []
+                closing = self._closing
+            if batch:
+                batch.sort(key=lambda e: e[0])
+                with self._lock:
+                    for tx, frame in batch:
+                        if (
+                            self._file is None
+                            or self._segment_size > SEGMENT_MAX_BYTES
+                        ):
+                            self._open_segment(tx)
+                        self._file.write(frame)
+                        self._segment_size += len(frame)
+                    self._file.flush()
+                    os.fsync(self._file.fileno())
+                with self._cv:
+                    self._cv.notify_all()
+            if closing and not batch:
+                return
 
     # -- segment management ------------------------------------------------
 
@@ -92,14 +132,17 @@ class FileWAL:
         header.update(header_extra)
         hb = json.dumps(header).encode("utf-8")
         crc = zlib.crc32(hb + body) & 0xFFFFFFFF
-        frame = _FRAME.pack(len(hb), crc)
+        frame = _FRAME.pack(len(hb), crc) + hb + body
+        if not self.sync and self._thread is not None:
+            with self._cv:
+                self._queue.append((tx, frame))
+                self._cv.notify_all()
+            return
         with self._lock:
             if self._file is None or self._segment_size > SEGMENT_MAX_BYTES:
                 self._open_segment(tx)
             self._file.write(frame)
-            self._file.write(hb)
-            self._file.write(body)
-            self._segment_size += len(frame) + len(hb) + len(body)
+            self._segment_size += len(frame)
             if self.sync:
                 self._file.flush()
                 os.fsync(self._file.fileno())
@@ -133,6 +176,11 @@ class FileWAL:
         self._append(tx, KIND_SNAPSHOT, {}, b"")
 
     def flush(self) -> None:
+        if not self.sync and self._thread is not None:
+            with self._cv:
+                self._cv.notify_all()
+                while self._queue:
+                    self._cv.wait(timeout=0.5)
         with self._lock:
             if self._file is not None:
                 self._file.flush()
@@ -222,6 +270,12 @@ class FileWAL:
                 os.remove(os.path.join(self.dir, seg))
 
     def close(self) -> None:
+        if self._thread is not None:
+            with self._cv:
+                self._closing = True
+                self._cv.notify_all()
+            self._thread.join(timeout=5)
+            self._thread = None
         with self._lock:
             if self._file is not None:
                 self._file.flush()
