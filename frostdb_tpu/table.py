@@ -303,11 +303,51 @@ class Table:
             if filter is not None and prune_part(part, filter):
                 continue
             batch = part.batch
+            if filter is None and distinct_columns:
+                opt = self._distinct_scan_batch(batch, distinct_columns)
+                if opt is not None:
+                    cb(opt)
+                    continue
             batch = self._apply_physical_projection(batch, physical_projection)
             cb(batch)
         for batch in source_batches:
             batch = self._apply_physical_projection(batch, physical_projection)
             cb(batch)
+
+    def _distinct_scan_batch(self, batch, distinct_columns):
+        """Distinct pushdown fast path (reference: the scan layer returns
+        dictionary-only results for unfiltered distinct queries,
+        optimize.go:113 DistinctPushDown + the distinct read mode in
+        pqarrow/arrow.go:171-205): emit only the unique key combinations of
+        this part instead of all rows. Downstream Distinction still dedups
+        across parts, so this is purely a row-count reduction."""
+        cols = []
+        for m in distinct_columns:
+            matched = [c for c in batch.columns if m.matches_column(c.name)]
+            if not matched and not isinstance(m, (type(None),)):
+                # missing concrete column: contributes nothing; Distinction
+                # handles null backfill across parts
+                continue
+            cols.extend(matched)
+        if not cols:
+            return None
+        for m in distinct_columns:
+            # only plain column/dyncol matchers are safe to reduce here;
+            # computed expressions (e.g. value > 0) need the full rows
+            from .query import expr as E
+
+            if not isinstance(m, (E.Column, E.DynamicColumn)):
+                return None
+        import numpy as _np
+
+        keys = _np.stack(
+            [c.values.astype(_np.int64) + 1 for c in cols]
+            + [c.validity.astype(_np.int64) for c in cols],
+            axis=1,
+        )
+        _uniq, idx = _np.unique(keys, axis=0, return_index=True)
+        idx.sort()
+        return ColumnBatch([c.take(idx) for c in cols], len(idx))
 
     def _apply_physical_projection(
         self, batch: ColumnBatch, physical_projection: Sequence
