@@ -37,64 +37,130 @@ SUB = 64
 ROWS_PER_SUPER = SUB * 128
 
 
-def _agg_kernel(c_ref, v_ref, t_ref, lit_ref, out_ref):
-    lit = lit_ref[0]
-    # code values along SUBLANES: onehot_T[k, r] = (codes[r] == k)
-    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+def _make_agg_kernel(num_digits: int, fused_compare: bool = False):
+    """Kernel factory: LHS rows are num_digits base-128 digit rows + the
+    selection row, padded to the 8-sublane tile. With ``fused_compare`` the
+    third input is a timestamp block compared against an SMEM literal inside
+    the kernel (saves materializing the selection vector through HBM);
+    otherwise it is a precomputed 0/1 selection block."""
+    pad = 8 - num_digits - 1
+    assert pad >= 0, "at most 7 digits fit one accumulator tile"
 
-    # Whole-block elementwise precompute (full VPU tiles instead of [1,128]
-    # row slices): masked base-128 digits and the selection row.
-    v = v_ref[:]
-    sel32 = (t_ref[:] >= lit).astype(jnp.int32)
-    d0b = (jax.lax.bitwise_and(v, jnp.int32(127)) * sel32).astype(jnp.int8)
-    d1b = (jax.lax.shift_right_logical(v, jnp.int32(7)) * sel32).astype(
-        jnp.int8
-    )
-    selb = sel32.astype(jnp.int8)
-    zeros5 = jnp.zeros((5, 128), jnp.int8)
+    def _agg_kernel(c_ref, v_ref, sel_ref, *rest):
+        # code values along SUBLANES: onehot_T[k, r] = (codes[r] == k)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-    c = c_ref[:]
-    acc = jnp.zeros((8, 128), dtype=jnp.int32)
-    # statically unrolled over slabs: all slices are compile-time constant
-    # (int8/bf16 compares don't legalize on this target; int32 it is)
-    for s in range(SUB):
-        row_c = c[s : s + 1, :]  # [1, 128] rows on lanes
-        onehot_t = (jnp.broadcast_to(row_c, (128, 128)) == iota_sub).astype(
-            jnp.int8
-        )  # [k, r]
-        lhs = jnp.concatenate(
-            [d0b[s : s + 1], d1b[s : s + 1], selb[s : s + 1], zeros5], axis=0
-        )  # [8, 128]
-        # contract rows on both minor dims (transposed-RHS MXU orientation)
-        acc = acc + jax.lax.dot_general(
-            lhs,
-            onehot_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-    out_ref[0] = acc
+        # Whole-block elementwise precompute (full VPU tiles instead of
+        # [1,128] row slices): masked base-128 digits + selection row.
+        v = v_ref[:]
+        if fused_compare:
+            lit_ref, out_ref = rest
+            sel32 = (sel_ref[:] >= lit_ref[0]).astype(jnp.int32)
+        else:
+            (out_ref,) = rest
+            sel32 = sel_ref[:]
+        digit_blocks = []
+        for d in range(num_digits):
+            digit_blocks.append(
+                (
+                    jax.lax.bitwise_and(
+                        jax.lax.shift_right_logical(v, jnp.int32(7 * d)),
+                        jnp.int32(127),
+                    )
+                    * sel32
+                ).astype(jnp.int8)
+            )
+        selb = sel32.astype(jnp.int8)
+        zeros_pad = jnp.zeros((pad, 128), jnp.int8) if pad else None
+
+        c = c_ref[:]
+        acc = jnp.zeros((8, 128), dtype=jnp.int32)
+        # statically unrolled over slabs: all slices are compile-time
+        # constant (int8/bf16 compares don't legalize; int32 it is)
+        for s in range(SUB):
+            row_c = c[s : s + 1, :]  # [1, 128] rows on lanes
+            onehot_t = (
+                jnp.broadcast_to(row_c, (128, 128)) == iota_sub
+            ).astype(jnp.int8)  # [k, r]
+            rows = [db[s : s + 1] for db in digit_blocks] + [selb[s : s + 1]]
+            if zeros_pad is not None:
+                rows.append(zeros_pad)
+            lhs = jnp.concatenate(rows, axis=0)  # [8, 128]
+            # contract rows on both minor dims (transposed-RHS orientation)
+            acc = acc + jax.lax.dot_general(
+                lhs,
+                onehot_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        out_ref[0] = acc
+
+    return _agg_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_codes",))
-def pallas_filter_group_sum_count(codes, values, ts, literal, num_codes: int):
-    """Exact (sums[num_codes] int64, counts[num_codes] int64) for
-    ``where ts >= literal group by codes``.
+@functools.partial(jax.jit, static_argnames=("num_codes", "num_digits"))
+def pallas_group_sum_count(codes, values, sel, num_codes: int, num_digits: int = 2):
+    """Exact (sums[num_codes] int64, counts[num_codes] int64) grouped over
+    pre-filtered rows.
 
-    codes/values/ts: [n_slabs, 128] int32 row-major slabs; values must be
-    14-bit non-negative (two base-128 digits). num_codes <= 128 (one
-    accumulator tile; larger K tiles over the lane dim in a follow-up).
+    codes/values: [n_slabs, 128] int32 row-major slabs; sel: [n_slabs, 128]
+    int32 0/1 selection (any predicate, evaluated upstream in XLA — it fuses
+    into the kernel's input pipeline). values must be non-negative and
+    < 128**num_digits (num_digits <= 7). num_codes <= 128 (one accumulator
+    tile; larger K tiles over the lane dim in a follow-up round).
     """
     n_slabs = codes.shape[0]
     n_super = n_slabs // SUB
     assert n_super * SUB == n_slabs, (n_slabs, SUB)
     assert num_codes <= 128
-    lit = jnp.asarray([literal], dtype=jnp.int32)
 
     # NB: index-map constants must be int32 — with jax_enable_x64 a bare
     # python 0 traces as i64 and Mosaic fails to legalize the kernel's
     # func.return.
     out = pl.pallas_call(
-        _agg_kernel,
+        _make_agg_kernel(num_digits),
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128),
+            lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, 128), jnp.int32),
+    )(codes, values, sel)
+
+    parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
+    sums = parts[0]
+    for d in range(1, num_digits):
+        sums = sums + (parts[d] << (7 * d))
+    counts = parts[num_digits]
+    return sums, counts
+
+
+@functools.partial(jax.jit, static_argnames=("num_codes", "num_digits"))
+def pallas_filter_group_sum_count(
+    codes, values, ts, literal, num_codes: int, num_digits: int = 2
+):
+    """``where ts >= literal group by codes`` with the comparison fused into
+    the kernel (no selection vector round-trips HBM) — the bench entry
+    point and the compiled layer's comparison-predicate fast path."""
+    n_slabs = codes.shape[0]
+    n_super = n_slabs // SUB
+    assert n_super * SUB == n_slabs, (n_slabs, SUB)
+    assert num_codes <= 128
+    lit = jnp.asarray([literal], dtype=jnp.int32)
+    out = pl.pallas_call(
+        _make_agg_kernel(num_digits, fused_compare=True),
         grid=(n_super,),
         in_specs=[
             pl.BlockSpec(
@@ -118,9 +184,11 @@ def pallas_filter_group_sum_count(codes, values, ts, literal, num_codes: int):
         out_shape=jax.ShapeDtypeStruct((n_super, 8, 128), jnp.int32),
     )(codes, values, ts.astype(jnp.int32), lit)
 
-    partials = out[:, :3, :num_codes].astype(jnp.int64).sum(axis=0)  # [3, K]
-    sums = partials[0] + (partials[1] << 7)
-    counts = partials[2]
+    parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
+    sums = parts[0]
+    for d in range(1, num_digits):
+        sums = sums + (parts[d] << (7 * d))
+    counts = parts[num_digits]
     return sums, counts
 
 
