@@ -19,3 +19,4 @@ from .distributed import (  # noqa: F401
     distributed_distinct,
 )
 from .join import distributed_hash_join  # noqa: F401
+from .shuffle import shuffle_by_key, ShuffleOverflow  # noqa: F401

@@ -31,6 +31,10 @@ class TableConfig:
     row_group_size: int = 0
     block_reader_limit: int = 0
     disable_wal: bool = False
+    # Deduplicate rows with identical sorting-key tuples at compaction,
+    # keeping the newest write (reference: UniquePrimaryIndex,
+    # table.go:1465 distinctRecordsForCompaction).
+    unique_primary_index: bool = False
     # Active-block rotation threshold in bytes (reference:
     # WithActiveMemorySize, db.go options).
     active_memory_size: int = 512 * 1024 * 1024
@@ -41,6 +45,7 @@ class TableConfig:
             "row_group_size": self.row_group_size,
             "block_reader_limit": self.block_reader_limit,
             "disable_wal": self.disable_wal,
+            "unique_primary_index": self.unique_primary_index,
             "active_memory_size": self.active_memory_size,
         }
 
@@ -51,6 +56,7 @@ class TableConfig:
             row_group_size=d.get("row_group_size", 0),
             block_reader_limit=d.get("block_reader_limit", 0),
             disable_wal=d.get("disable_wal", False),
+            unique_primary_index=d.get("unique_primary_index", False),
             active_memory_size=d.get("active_memory_size", 512 * 1024 * 1024),
         )
 
@@ -250,11 +256,27 @@ class Table:
         MergeDynamicRowGroups, dynparquet/schema.go:1333)."""
         from .query.physical import unify_concat
 
-        batches = [p.batch for p in parts]
+        # Newest-first concat: with a stable sort, rows with equal sorting
+        # keys end up newest-first, so unique-index dedup keeps the latest
+        # write (reference: distinctRecordsForCompaction table.go:1465).
+        ordered = sorted(parts, key=lambda p: -p.tx)
+        batches = [p.batch for p in ordered]
         merged = unify_concat(batches)
         dyn = merged.dynamic_columns()
         sorting = self._schema.sorting_key_columns(dyn)
-        merged = merged.sort_by(sorting)
+        idx = merged.sort_indices(sorting)
+        merged = merged.take(idx)
+        if self.config.unique_primary_index and merged.num_rows > 1:
+            keep = np.ones(merged.num_rows, dtype=bool)
+            same = np.ones(merged.num_rows - 1, dtype=bool)
+            for name, _s in sorting:
+                c = merged.column(name)
+                if c is None:
+                    continue
+                same &= c.values[1:] == c.values[:-1]
+                same &= c.validity[1:] == c.validity[:-1]
+            keep[1:] = ~same
+            merged = merged.select_mask(keep)
         max_tx = max(p.tx for p in parts)
         out = Part(merged, max_tx, compaction_level=max(p.compaction_level for p in parts) + 0)
         return out

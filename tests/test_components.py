@@ -231,3 +231,28 @@ def test_query_memory_limit():
         [E.Sum(E.Col("value"))], [E.Col("example_type")]
     ).execute(out.append)
     assert out
+
+
+def test_unique_primary_index_compaction():
+    """reference: UniquePrimaryIndex — compaction keeps only the newest row
+    per sorting-key tuple (table.go:1465)."""
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.table import TableConfig
+    from tests.test_db import _make_batch, _query_sum
+
+    store = ColumnStore()
+    db = store.db("u")
+    table = db.table(
+        "t",
+        TableConfig(schema=sample_definition(), unique_primary_index=True),
+    )
+    # identical sort keys (same types/labels/timestamps), different values
+    b1 = _make_batch(table)  # values 1,2,3
+    table.insert_record(b1)
+    b2 = _make_batch(table)
+    b2.column("value").values[:] = [10, 20, 30]
+    table.insert_record(b2)
+
+    assert _query_sum(db, "t") == 66  # before compaction both visible
+    table.active_block.index.compact_level(0)
+    assert _query_sum(db, "t") == 60  # newest rows (10+20+30) survive
