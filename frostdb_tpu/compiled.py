@@ -10,7 +10,21 @@ when the planner can PROVE the fast pattern:
   <= 128 (one accumulator tile),
 - aggregations are sum/count of a non-negative bounded int column,
 - the filter is a single comparison on a numeric column (fused into the
-  kernel) or absent.
+  kernel) or absent,
+- no null group keys and no external data sources (those fall back to the
+  generic engine, which handles null-key groups and source scans).
+
+The engine integrates this automatically: ``lower_plan`` pattern-matches an
+optimized logical plan and ``LocalQueryBuilder.execute`` falls back to the
+generic operator pipeline on ``NotCompilable`` (the optimizer-directed
+lowering the reference performs with readmode pushdowns in
+pqarrow/arrow.go:171-205, done here for the aggregation hot loop).
+
+Results are EXACTLY the generic engine's, including group emission order:
+the engine emits groups by first occurrence among *selected* (post-filter)
+rows of the concatenated part stream. On TPU the kernel's per-superblock
+count partials give each code's first selected superblock for free; ties
+within one superblock are refined host-side over just those <= 8192 rows.
 
 Parts stay device-resident between queries (lsm.Part.device() caches the
 upload); each part aggregates on device and partials combine with int64
@@ -31,6 +45,9 @@ import numpy as np
 
 from .columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
 from .query import expr as E
+
+_INT32_MIN = -(2**31)
+_INT32_MAX = 2**31 - 1
 
 
 class NotCompilable(Exception):
@@ -64,7 +81,7 @@ class CompiledFilterAggregate:
         self,
         table,
         group_col: str,
-        aggs: Sequence[tuple[str, str]],  # (func, column)
+        aggs: Sequence[tuple],  # (func, column[, result_name])
         filter: Optional[tuple[str, str, int]] = None,  # (col, op, literal)
     ):
         import jax
@@ -73,6 +90,9 @@ class CompiledFilterAggregate:
         self.group_col = group_col
         self.filter = filter
         self.on_tpu = jax.default_backend() == "tpu"
+
+        if table.db is not None and getattr(table.db, "sources", None):
+            raise NotCompilable("table reads from external data sources")
 
         schema = table.schema()
         gdef = schema.column_by_name(group_col)
@@ -85,22 +105,76 @@ class CompiledFilterAggregate:
 
         self.aggs = []
         self.value_col: Optional[str] = None
-        for func, col in aggs:
+        for spec in aggs:
+            func, col = spec[0], spec[1]
+            result_name = spec[2] if len(spec) > 2 else f"{func}({col})"
             if func not in (E.AGG_SUM, E.AGG_COUNT):
                 raise NotCompilable(f"agg {func} not in compiled set")
             if func == E.AGG_SUM:
                 if self.value_col is not None and self.value_col != col:
                     raise NotCompilable("one summed column per compiled query")
+                vdef = schema.column_by_name(col)
+                if vdef is not None and vdef.layout.type != "int64":
+                    raise NotCompilable("compiled sums are int columns")
                 self.value_col = col
-            self.aggs.append(
-                _AggSpec(func, col, f"{func}({col})")
-            )
+            self.aggs.append(_AggSpec(func, col, result_name))
         if self.filter is not None:
-            fcol, fop, _lit = self.filter
+            fcol, fop, lit = self.filter
             if fop not in ("<", "<=", ">", ">=", "==", "!="):
                 raise NotCompilable(f"filter op {fop} not comparable")
+            fdef = schema.column_by_name(fcol)
+            if fdef is None or fdef.layout.type != "int64":
+                raise NotCompilable("compiled filters compare int columns")
+            if not (_INT32_MIN <= lit <= _INT32_MAX):
+                raise NotCompilable("filter literal outside int32 range")
 
     # ------------------------------------------------------------------
+
+    def _check_parts(self, parts) -> int:
+        """Host-metadata validation over the visible parts; returns the
+        base-128 digit count for the summed column. All checks read cached
+        per-part ranges / validity flags, never full columns per query."""
+        num_digits = 2
+        vmax = 0
+        for p in parts:
+            g = p.batch.column(self.group_col)
+            if g is None:
+                raise NotCompilable(f"part lacks {self.group_col}")
+            if not g.validity.all():
+                # The generic engine emits a null-key group for these rows
+                # (kernels.group_ids keys on validity); fall back.
+                raise NotCompilable("null group keys (generic engine path)")
+            if self.value_col is not None:
+                c = p.batch.column(self.value_col)
+                if c is None:
+                    raise NotCompilable(f"part lacks {self.value_col}")
+                if c.kind != KIND_INT64:
+                    raise NotCompilable("compiled sums are int columns")
+                r = p.raw_range(self.value_col)
+                if r is not None:
+                    # Raw buffer bounds: null slots participate in sums
+                    # exactly like the reference's raw-buffer sum
+                    # (aggregate.go:763), so they bound the digits too.
+                    if r[0] < 0:
+                        raise NotCompilable("negative values (this round)")
+                    vmax = max(vmax, r[1])
+            else:
+                # counts-only queries still need every part to carry the
+                # counted rows; nothing to bound.
+                pass
+            if self.filter is not None:
+                fcol = self.filter[0]
+                f = p.batch.column(fcol)
+                if f is None:
+                    raise NotCompilable(f"part lacks {fcol}")
+                r = p.raw_range(fcol)
+                if r is not None and not (
+                    _INT32_MIN <= r[0] and r[1] <= _INT32_MAX
+                ):
+                    raise NotCompilable("filter column outside int32 range")
+        if self.value_col is not None:
+            num_digits = _digits_for(max(vmax, 1))
+        return num_digits
 
     def _part_arrays(self, part):
         """Device arrays for one part in kernel layout, via the part's
@@ -152,10 +226,98 @@ class CompiledFilterAggregate:
             sel = sel * cmp.astype(jnp.int32) * fvalid
         return codes, vals, sel
 
+    # ------------------------------------------------------------------
+    # First-occurrence emission order
+
+    def _host_sel(self, part, lo: int, hi: int) -> np.ndarray:
+        """The kernel's selection mask recomputed host-side over rows
+        [lo, hi) of a part — used only to break first-occurrence ties
+        within a single superblock."""
+        g = part.batch.column(self.group_col)
+        sel = g.validity[lo:hi].copy()
+        if self.filter is not None:
+            fcol, fop, lit = self.filter
+            f = part.batch.column(fcol)
+            fv = f.values[lo:hi]
+            cmp = {
+                "<": fv < lit,
+                "<=": fv <= lit,
+                ">": fv > lit,
+                ">=": fv >= lit,
+                "==": fv == lit,
+                "!=": fv != lit,
+            }[fop]
+            sel &= cmp
+            sel &= f.validity[lo:hi]
+        return sel
+
+    def _rank_ties(self, part, super_idx: int, codes_needed) -> dict:
+        """Exact first selected row (global within the part) for each code
+        whose first selected superblock is ``super_idx``."""
+        from .ops.pallas_agg import ROWS_PER_SUPER
+
+        lo = super_idx * ROWS_PER_SUPER
+        hi = min(lo + ROWS_PER_SUPER, part.batch.num_rows)
+        g = part.batch.column(self.group_col)
+        gv = g.values[lo:hi]
+        sel = self._host_sel(part, lo, hi)
+        ranks = {}
+        for k in codes_needed:
+            idx = np.nonzero(sel & (gv == k))[0]
+            ranks[k] = lo + int(idx[0])
+        return ranks
+
+    def _emission_order(
+        self, parts, part_counts: np.ndarray, part_first: np.ndarray
+    ) -> np.ndarray:
+        """Group emission order = first occurrence of each code among the
+        selected rows of the concatenated part stream (matching the generic
+        engine's kernels.group_ids ordering).
+
+        part_counts: [P, K] per-part selected-row counts per code.
+        part_first: [P, K]; on TPU the first selected *superblock* per code
+        (ties refined on host), elsewhere the exact first selected row.
+        """
+        order: list[int] = []
+        seen: set[int] = set()
+        for p_idx, part in enumerate(parts):
+            pc = part_counts[p_idx]
+            fresh = [k for k in np.nonzero(pc > 0)[0] if int(k) not in seen]
+            if not fresh:
+                continue
+            if self.on_tpu:
+                # part_first holds superblock indices; refine ties.
+                by_super: dict[int, list[int]] = {}
+                for k in fresh:
+                    by_super.setdefault(int(part_first[p_idx][k]), []).append(
+                        int(k)
+                    )
+                keyed: list[tuple[tuple[int, int], int]] = []
+                for s, ks in by_super.items():
+                    if len(ks) == 1:
+                        keyed.append(((s, 0), ks[0]))
+                    else:
+                        ranks = self._rank_ties(part, s, ks)
+                        for k in ks:
+                            keyed.append(((s, ranks[k]), k))
+                keyed.sort()
+                ordered = [k for _key, k in keyed]
+            else:
+                ordered = sorted(
+                    (int(k) for k in fresh),
+                    key=lambda k: int(part_first[p_idx][k]),
+                )
+            for k in ordered:
+                seen.add(k)
+                order.append(k)
+        return np.asarray(order, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+
     def execute(self) -> ColumnBatch:
         import jax.numpy as jnp
 
-        from .ops.fused import filter_group_scatter
+        from .ops.fused import filter_group_scatter, first_selected_row
         from .ops.pallas_agg import pallas_group_sum_count
 
         tx = (
@@ -165,62 +327,38 @@ class CompiledFilterAggregate:
         )
         parts = self.table.collect_parts(tx)
         num_codes = max(len(self.dictionary), 1)
-
-        # value bound -> digit count (host check over part maxima)
-        num_digits = 2
-        if self.value_col is not None:
-            vmax = 0
-            for p in parts:
-                c = p.batch.column(self.value_col)
-                if c is None:
-                    continue
-                if c.kind != KIND_INT64:
-                    raise NotCompilable("compiled sums are int columns")
-                if len(c.values) and c.validity.any():
-                    lo = int(c.values[c.validity].min())
-                    if lo < 0:
-                        raise NotCompilable("negative values (this round)")
-                    vmax = max(vmax, int(c.values[c.validity].max()))
-            num_digits = _digits_for(max(vmax, 1))
+        num_digits = self._check_parts(parts)
 
         sums = jnp.zeros((num_codes,), jnp.int64)
         counts = jnp.zeros((num_codes,), jnp.int64)
+        per_part_counts = []
+        per_part_first = []
         for p in parts:
             codes, vals, sel = self._part_arrays(p)
             if self.on_tpu:
-                s, c = pallas_group_sum_count(
+                s, c, first = pallas_group_sum_count(
                     codes, vals, sel, num_codes, num_digits
                 )
             else:
+                flat_codes = codes.reshape(-1)
+                flat_sel = sel.reshape(-1) > 0
                 s, c = filter_group_scatter(
-                    codes.reshape(-1),
-                    vals.reshape(-1),
-                    sel.reshape(-1) > 0,
-                    num_codes,
+                    flat_codes, vals.reshape(-1), flat_sel, num_codes
                 )
+                first = first_selected_row(flat_codes, flat_sel, num_codes)
             sums = sums + s
             counts = counts + c
+            per_part_counts.append(c)
+            per_part_first.append(first)
 
         sums_np = np.asarray(sums)
         counts_np = np.asarray(counts)
-        present = counts_np > 0
-
-        # Emission order: first occurrence of each code across the part
-        # stream (host-side pass over the host copies of the code column).
-        order: list[int] = []
-        seen: set[int] = set()
-        for p in parts:
-            g = p.batch.column(self.group_col)
-            if g is None:
-                continue
-            codes_np = g.values[g.validity]
-            _u, idx = np.unique(codes_np, return_index=True)
-            for i in np.sort(idx):
-                code = int(codes_np[i])
-                if code not in seen and present[code]:
-                    seen.add(code)
-                    order.append(code)
-        order_arr = np.asarray(order, dtype=np.int64)
+        if parts:
+            part_counts = np.asarray(jnp.stack(per_part_counts))
+            part_first = np.asarray(jnp.stack(per_part_first))
+            order_arr = self._emission_order(parts, part_counts, part_first)
+        else:
+            order_arr = np.asarray([], dtype=np.int64)
 
         n = len(order_arr)
         cols = [
@@ -249,3 +387,74 @@ def compile_filter_aggregate(table, group_col, aggs, filter=None):
     """Try to build a compiled query; raises NotCompilable when the pattern
     doesn't hold (callers fall back to the generic engine)."""
     return CompiledFilterAggregate(table, group_col, aggs, filter)
+
+
+# ---------------------------------------------------------------------------
+# Planner lowering (engine integration)
+
+_COMPARE_FILTER_OPS = ("<", "<=", ">", ">=", "==", "!=")
+
+
+def lower_plan(plan) -> CompiledFilterAggregate:
+    """Pattern-match an *optimized* logical plan onto the compiled fast
+    path. The engine calls this before building the generic operator DAG
+    and falls back on ``NotCompilable``.
+
+    Matched shape: TableScan <- [Filter(col cmp int-literal)] <- Aggregation
+    with one concrete dict-coded group column and sum/count aggregations.
+    """
+    node = plan
+    if node is None or node.aggregation is None:
+        raise NotCompilable("root is not an aggregation")
+    agg = node.aggregation
+    node = node.input
+    filt = None
+    while node is not None and node.filter is not None:
+        if filt is not None:
+            raise NotCompilable("multiple filter nodes")
+        filt = node.filter.expr
+        node = node.input
+    if node is None or node.table_scan is None:
+        raise NotCompilable("input is not a plain table scan")
+    scan = node.table_scan
+    table = scan.provider.get_table(scan.table_name)
+    if table is None:
+        raise NotCompilable(f"table not found: {scan.table_name}")
+
+    if len(agg.group_exprs) != 1 or type(agg.group_exprs[0]) is not E.Column:
+        raise NotCompilable("compiled path needs one concrete group column")
+    group_col = agg.group_exprs[0].column_name
+
+    aggs: list[tuple[str, str, str]] = []
+    seen_names: set[str] = set()
+    for a in agg.agg_exprs:
+        result_name = None
+        inner = a
+        if isinstance(inner, E.AliasExpr):
+            result_name = inner.alias_name
+            inner = inner.expr
+        if not isinstance(inner, E.AggregationFunction):
+            raise NotCompilable("non-aggregation expression")
+        if type(inner.expr) is not E.Column:
+            raise NotCompilable("aggregation input is not a plain column")
+        name = result_name or inner.name()
+        if name in seen_names:
+            continue  # the generic final stage dedups too (aggregate.go:973)
+        seen_names.add(name)
+        aggs.append((inner.func, inner.expr.column_name, name))
+
+    filter_spec = None
+    if filt is not None:
+        if not (
+            isinstance(filt, E.BinaryExpr)
+            and type(filt.left) is E.Column
+            and isinstance(filt.right, E.Literal)
+            and filt.op in _COMPARE_FILTER_OPS
+        ):
+            raise NotCompilable("filter is not col <cmp> literal")
+        lit = filt.right.value
+        if not isinstance(lit, int) or isinstance(lit, bool):
+            raise NotCompilable("filter literal is not an int")
+        filter_spec = (filt.left.column_name, filt.op, lit)
+
+    return CompiledFilterAggregate(table, group_col, aggs, filter_spec)

@@ -33,6 +33,7 @@ class Part:
         self.compaction_level = compaction_level
         self._device: Optional[DeviceBatch] = None
         self._zone_map: Optional[dict] = None
+        self._raw_ranges: dict = {}
 
     def num_rows(self) -> int:
         return self.batch.num_rows
@@ -49,6 +50,21 @@ class Part:
         if self._device is None:
             self._device = DeviceBatch(self.batch)
         return self._device
+
+    def raw_range(self, name: str):
+        """(min, max) over a column's raw values buffer *including* null
+        slots — null slots participate in sums like the reference's
+        raw-buffer sum (aggregate.go:763), so value-range bounds for the
+        compiled digit decomposition must cover them. Cached: parts are
+        immutable. Returns None if the column is absent or empty."""
+        if name in self._raw_ranges:
+            return self._raw_ranges[name]
+        c = self.batch.column(name)
+        r = None
+        if c is not None and len(c.values):
+            r = (int(c.values.min()), int(c.values.max()))
+        self._raw_ranges[name] = r
+        return r
 
     def zone_map(self) -> dict:
         """Per-column min/max for scan pruning (the reference prunes row

@@ -89,6 +89,19 @@ def filter_group_sum_count(
 
 
 @functools.partial(jax.jit, static_argnames=("num_codes",))
+def first_selected_row(codes, sel, num_codes: int):
+    """Exact first selected row index per code (n when absent) — the
+    first-occurrence group-emission order on the non-TPU backends, where
+    XLA scatter reductions are cheap."""
+    n = codes.shape[0]
+    rowidx = jnp.arange(n, dtype=jnp.int32)
+    safe = jnp.where(sel, codes, num_codes)
+    return jax.ops.segment_min(
+        jnp.where(sel, rowidx, jnp.int32(n)), safe, num_segments=num_codes + 1
+    )[:num_codes]
+
+
+@functools.partial(jax.jit, static_argnames=("num_codes",))
 def filter_group_scatter(codes, values, sel, num_codes: int):
     """Scatter-add formulation (XLA scatter) — the comparison point."""
     safe = jnp.where(sel, codes, num_codes)

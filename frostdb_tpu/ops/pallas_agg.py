@@ -100,8 +100,15 @@ def _make_agg_kernel(num_digits: int, fused_compare: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("num_codes", "num_digits"))
 def pallas_group_sum_count(codes, values, sel, num_codes: int, num_digits: int = 2):
-    """Exact (sums[num_codes] int64, counts[num_codes] int64) grouped over
-    pre-filtered rows.
+    """Exact (sums[num_codes] int64, counts[num_codes] int64,
+    first_super[num_codes] int32) grouped over pre-filtered rows.
+
+    ``first_super[k]`` is the index of the first superblock containing a
+    selected row of code k (0 when the code never occurs — disambiguate with
+    counts[k] > 0). It falls out of the kernel's per-superblock count
+    partials for free and gives the engine's first-occurrence group emission
+    order to within one superblock; the compiled layer refines ties on the
+    host over just that superblock's rows.
 
     codes/values: [n_slabs, 128] int32 row-major slabs; sel: [n_slabs, 128]
     int32 0/1 selection (any predicate, evaluated upstream in XLA — it fuses
@@ -144,7 +151,9 @@ def pallas_group_sum_count(codes, values, sel, num_codes: int, num_digits: int =
     for d in range(1, num_digits):
         sums = sums + (parts[d] << (7 * d))
     counts = parts[num_digits]
-    return sums, counts
+    super_counts = out[:, num_digits, :num_codes]
+    first_super = jnp.argmax(super_counts > 0, axis=0).astype(jnp.int32)
+    return sums, counts, first_super
 
 
 @functools.partial(jax.jit, static_argnames=("num_codes", "num_digits"))

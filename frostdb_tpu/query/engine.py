@@ -74,14 +74,36 @@ class LocalQueryBuilder:
     def sample(self, size: E.Expr, limit: E.Expr) -> "LocalQueryBuilder":
         return LocalQueryBuilder(self.engine, self.builder.sample(size, limit))
 
-    def _build_physical(self):
+    def _optimized_plan(self) -> LogicalPlan:
         plan = self.builder.build()
-        plan = optimize(plan)
-        return build_physical(plan, self.engine.exec_options)
+        return optimize(plan)
+
+    def _build_physical(self):
+        return build_physical(self._optimized_plan(), self.engine.exec_options)
 
     def execute(self, callback: Callable[[ColumnBatch], None]) -> None:
-        output = self._build_physical()
-        output.execute(callback)
+        plan = self._optimized_plan()
+        if (
+            self.engine.exec_options.compiled_serving
+            and self.engine.exec_options.allocator is None
+        ):
+            # Memory-limited queries keep the generic path: the limiter's
+            # contract is accounting of accumulated batch bytes
+            # (query/memory.go), which the compiled path never materializes.
+            # Compiled serving fast path: lower the whole plan onto the
+            # fused device kernels when the pattern is provable; results
+            # (values, names, group emission order) are exactly the generic
+            # engine's. NotCompilable falls through to the operator DAG.
+            from ..compiled import NotCompilable, lower_plan
+
+            try:
+                out = lower_plan(plan).execute()
+                if out.num_rows > 0:
+                    callback(out)
+                return
+            except NotCompilable:
+                pass
+        build_physical(plan, self.engine.exec_options).execute(callback)
 
     def explain(self) -> str:
         output = self._build_physical()

@@ -825,12 +825,17 @@ class ExecOptions:
         concurrency: int = DEFAULT_CONCURRENCY,
         ordered_aggregations: bool = False,
         allocator=None,
+        compiled_serving: bool = True,
     ):
         self.concurrency = concurrency
         self.ordered_aggregations = ordered_aggregations
         # LimitAllocator for per-query memory limiting (reference:
         # query/memory.go; wired into the accumulate points).
         self.allocator = allocator
+        # Lower scan->filter->group-aggregate plans onto the fused device
+        # kernels when the pattern is provable (compiled.lower_plan); the
+        # generic operator DAG is the fallback and the semantic oracle.
+        self.compiled_serving = compiled_serving
 
 
 def _should_plan_ordered(opts: ExecOptions, ordering_ok: bool, node) -> bool:

@@ -112,3 +112,198 @@ def test_not_compilable_patterns():
         compile_filter_aggregate(table, "timestamp", [("sum", "value")])
     with pytest.raises(NotCompilable):
         compile_filter_aggregate(table, "example_type", [("min", "value")])
+
+
+# ---------------------------------------------------------------------------
+# Engine integration (LocalQueryBuilder.execute lowers onto the compiled
+# path automatically; output must be byte-identical to the generic DAG,
+# including group emission order).
+
+
+def _batch_tuples(batches):
+    rows = []
+    for b in batches:
+        for i in range(b.num_rows):
+            rows.append(
+                tuple(
+                    (c.name, c.py_value(i)) for c in b.columns
+                )
+            )
+    return rows
+
+
+def _run_engine(db, compiled: bool, filter_expr, aggs=None):
+    from frostdb_tpu.query.physical import ExecOptions
+
+    engine = LocalEngine(
+        db.table_provider(), ExecOptions(compiled_serving=compiled)
+    )
+    q = engine.scan_table("t")
+    if filter_expr is not None:
+        q = q.filter(filter_expr)
+    out = []
+    q.aggregate(
+        aggs or [E.Sum(E.Col("value")), E.Count(E.Col("value"))],
+        [E.Col("example_type")],
+    ).execute(out.append)
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 7, 21])
+def test_engine_lowering_matches_generic_exactly(seed):
+    _s, db, _t = _setup(seed=seed)
+    for filt in (None, E.Col("timestamp").gt_eq(50), E.Col("timestamp").lt(3)):
+        fast = _run_engine(db, True, filt)
+        slow = _run_engine(db, False, filt)
+        assert _batch_tuples(fast) == _batch_tuples(slow)
+
+
+def test_engine_lowering_order_parity_filtered_first_occurrence():
+    """A group whose first stream occurrence is filtered out must be emitted
+    at its first *selected* occurrence (the generic engine's order)."""
+    store = ColumnStore()
+    db = store.db("o")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    d_et = table.dictionary("example_type")
+
+    def part(types, tss):
+        n = len(types)
+        et, etv = d_et.encode(types)
+        return ColumnBatch(
+            [
+                Column("example_type", KIND_DICT, et, etv, d_et),
+                Column(
+                    "timestamp",
+                    KIND_INT64,
+                    np.asarray(tss, dtype=np.int64),
+                    np.ones(n, dtype=bool),
+                ),
+                Column(
+                    "value",
+                    KIND_INT64,
+                    np.arange(1, n + 1, dtype=np.int64),
+                    np.ones(n, dtype=bool),
+                ),
+            ],
+            n,
+        )
+
+    # Single part: 'a' appears first in the stream but below the filter
+    # threshold, so its first *selected* occurrence is after 'b' and 'c' —
+    # unfiltered first-occurrence ordering would emit ['a','b','c'].
+    table.insert_record(part(["a", "b", "a", "c", "a"], [10, 90, 20, 95, 80]))
+
+    filt = E.Col("timestamp").gt_eq(50)
+    fast = _run_engine(db, True, filt)
+    slow = _run_engine(db, False, filt)
+    assert _batch_tuples(fast) == _batch_tuples(slow)
+    order = [
+        fast[0].column("example_type").py_value(i)
+        for i in range(fast[0].num_rows)
+    ]
+    assert order == ["b", "c", "a"]
+
+    # Cross-part seen-set: a newer part (scanned first — LSM scan order is
+    # newest-first) introduces 'd' and re-hits 'a'; 'a' keeps its earlier
+    # position from the newer part.
+    table.insert_record(part(["d", "a"], [99, 70]))
+    fast = _run_engine(db, True, filt)
+    slow = _run_engine(db, False, filt)
+    assert _batch_tuples(fast) == _batch_tuples(slow)
+    order = [
+        fast[0].column("example_type").py_value(i)
+        for i in range(fast[0].num_rows)
+    ]
+    assert order == ["d", "a", "b", "c"]
+
+
+def test_engine_lowering_null_group_keys_fall_back():
+    """Null group keys take the generic path (which emits a null-key
+    group); lowering must not change results."""
+    store = ColumnStore()
+    db = store.db("n")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    d_et = table.dictionary("example_type")
+    et, _ = d_et.encode(["a", "a", "b"])
+    valid = np.array([True, False, True])
+    table.insert_record(
+        ColumnBatch(
+            [
+                Column("example_type", KIND_DICT, et, valid, d_et),
+                Column(
+                    "value",
+                    KIND_INT64,
+                    np.array([1, 2, 4], dtype=np.int64),
+                    np.ones(3, dtype=bool),
+                ),
+            ],
+            3,
+        )
+    )
+    fast = _run_engine(db, True, None)
+    slow = _run_engine(db, False, None)
+    assert _batch_tuples(fast) == _batch_tuples(slow)
+    # the null-key group must be present (generic-engine semantics)
+    total = sum(b.num_rows for b in fast)
+    assert total == 3
+
+
+def test_emission_order_tie_refinement_superblocks():
+    """The TPU order path ranks codes by first selected superblock and
+    refines ties host-side; exercise the host logic directly."""
+    from frostdb_tpu.ops.pallas_agg import ROWS_PER_SUPER
+
+    store = ColumnStore()
+    db = store.db("tr")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    d_et = table.dictionary("example_type")
+
+    n = 2 * ROWS_PER_SUPER
+    types = ["z"] * n
+    # superblock 1 contains first occurrences of b then a (same superblock
+    # -> tie); superblock 0 contains c.
+    types[5] = "c"
+    types[ROWS_PER_SUPER + 3] = "b"
+    types[ROWS_PER_SUPER + 9] = "a"
+    et, etv = d_et.encode(types)
+    batch = ColumnBatch(
+        [
+            Column("example_type", KIND_DICT, et, etv, d_et),
+            Column(
+                "timestamp",
+                KIND_INT64,
+                np.full(n, 60, dtype=np.int64),
+                np.ones(n, dtype=bool),
+            ),
+            Column(
+                "value",
+                KIND_INT64,
+                np.ones(n, dtype=np.int64),
+                np.ones(n, dtype=bool),
+            ),
+        ],
+        n,
+    )
+    table.insert_record(batch)
+
+    q = compile_filter_aggregate(
+        table,
+        "example_type",
+        [("sum", "value"), ("count", "value")],
+        filter=("timestamp", ">=", 50),
+    )
+    parts = table.collect_parts(2**63)
+    assert len(parts) == 1
+    K = len(d_et)
+    # synthesize the kernel's outputs host-side: counts + first superblock
+    codes = parts[0].batch.column("example_type").values
+    pc = np.zeros((1, K), dtype=np.int64)
+    pf = np.zeros((1, K), dtype=np.int32)
+    for k in range(K):
+        rows = np.nonzero(codes == k)[0]
+        pc[0, k] = len(rows)
+        pf[0, k] = rows[0] // ROWS_PER_SUPER if len(rows) else 0
+    q.on_tpu = True  # force the superblock + tie-refinement order path
+    order = q._emission_order(parts, pc, pf)
+    names = [d_et.values[int(k)] for k in order]
+    assert names == ["z", "c", "b", "a"]
