@@ -7,8 +7,12 @@ pipeline (query/physical.py) is exact and fully general; this layer applies
 when the planner can PROVE the fast pattern:
 
 - group keys are table-global dictionary codes with a combined code space
-  <= 128 (one accumulator tile),
-- aggregations are sum/count of a non-negative bounded int column,
+  <= 2048 (the kernel lane-tiles one accumulator tile per 128 codes),
+- aggregations are sum/count of an int column whose raw-value *span*
+  (max - min over all visible parts) fits 32 bits — negative and
+  large-magnitude columns (e.g. nanosecond timestamps) are shifted by the
+  global minimum on device and reconstructed exactly as
+  ``kernel_sum + bias * count``,
 - the filter is a single comparison on a numeric column (fused into the
   kernel) or absent,
 - no null group keys and no external data sources (those fall back to the
@@ -83,7 +87,17 @@ class CompiledFilterAggregate:
         group_col: str,
         aggs: Sequence[tuple],  # (func, column[, result_name])
         filter: Optional[tuple[str, str, int]] = None,  # (col, op, literal)
+        output_projection: Optional[Sequence[tuple]] = None,
     ):
+        # output_projection: post-aggregation output spec (the avg rewrite's
+        # ``sum(x)/count(x) as avg(x)`` projection, builder.go:152-238):
+        #   ("group",)                     the group column
+        #   ("col", out_name, src_name)    an agg result, possibly renamed
+        #   ("div", out_name, sum, count)  truncating int division on the
+        #                                  [K]-sized host partials
+        self.output_projection = (
+            list(output_projection) if output_projection is not None else None
+        )
         import jax
 
         self.table = table
@@ -100,8 +114,11 @@ class CompiledFilterAggregate:
             raise NotCompilable(f"group column {group_col} is not dict-coded")
         fam = group_col.split(".", 1)[0]
         self.dictionary = table.dictionary(fam)
-        if len(self.dictionary) > 128:
-            raise NotCompilable("code space > 128 (tile limit this round)")
+        if len(self.dictionary) > 2048:
+            # The Pallas kernel lane-tiles the code space (one accumulator
+            # tile per 128 codes); past ~16 tiles the dense one-hot N*K term
+            # loses to the generic sort-based engine.
+            raise NotCompilable("code space > 2048 (dense one-hot limit)")
 
         self.aggs = []
         self.value_col: Optional[str] = None
@@ -130,12 +147,19 @@ class CompiledFilterAggregate:
 
     # ------------------------------------------------------------------
 
-    def _check_parts(self, parts) -> int:
-        """Host-metadata validation over the visible parts; returns the
-        base-128 digit count for the summed column. All checks read cached
-        per-part ranges / validity flags, never full columns per query."""
+    def _check_parts(self, parts) -> tuple[int, int]:
+        """Host-metadata validation over the visible parts; returns
+        ``(num_digits, bias)`` for the summed column. All checks read cached
+        per-part ranges / validity flags, never full columns per query.
+
+        ``bias`` is the global raw minimum: the kernel sums ``v - bias``
+        (always non-negative, often far fewer base-128 digits — e.g.
+        nanosecond timestamps) and the exact sum is reconstructed as
+        ``kernel_sum + bias * count``. This admits negative and
+        large-magnitude int64 columns as long as the *span* fits 32 bits."""
         num_digits = 2
-        vmax = 0
+        vmin: Optional[int] = None
+        vmax: Optional[int] = None
         for p in parts:
             g = p.batch.column(self.group_col)
             if g is None:
@@ -155,9 +179,8 @@ class CompiledFilterAggregate:
                     # Raw buffer bounds: null slots participate in sums
                     # exactly like the reference's raw-buffer sum
                     # (aggregate.go:763), so they bound the digits too.
-                    if r[0] < 0:
-                        raise NotCompilable("negative values (this round)")
-                    vmax = max(vmax, r[1])
+                    vmin = r[0] if vmin is None else min(vmin, r[0])
+                    vmax = r[1] if vmax is None else max(vmax, r[1])
             else:
                 # counts-only queries still need every part to carry the
                 # counted rows; nothing to bound.
@@ -172,13 +195,24 @@ class CompiledFilterAggregate:
                     _INT32_MIN <= r[0] and r[1] <= _INT32_MAX
                 ):
                     raise NotCompilable("filter column outside int32 range")
-        if self.value_col is not None:
-            num_digits = _digits_for(max(vmax, 1))
-        return num_digits
+        bias = 0
+        if self.value_col is not None and vmin is not None:
+            span = vmax - vmin
+            if span > _INT32_MAX:
+                raise NotCompilable("value span exceeds 32 bits")
+            # Bias only when needed (negative values, or values past the
+            # kernel's int32 input range); zero-bias keeps sums independent
+            # of counts for columns that are already small non-negative ints.
+            if vmin < 0 or vmax > _INT32_MAX:
+                bias = vmin
+            num_digits = _digits_for(max(vmax - bias, 1))
+        return num_digits, bias
 
-    def _part_arrays(self, part):
+    def _part_arrays(self, part, bias: int = 0):
         """Device arrays for one part in kernel layout, via the part's
-        cached device batch. Rows pad to the kernel's superblock."""
+        cached device batch. Rows pad to the kernel's superblock. The summed
+        column is shifted by ``-bias`` (sums reconstructed downstream as
+        ``kernel_sum + bias * count``)."""
         import jax.numpy as jnp
 
         from .ops.pallas_agg import ROWS_PER_SUPER
@@ -203,7 +237,10 @@ class CompiledFilterAggregate:
             v = dev.column(self.value_col)
             if v is None:
                 raise NotCompilable(f"part lacks {self.value_col}")
-            vals = pad2d(v.data.astype(jnp.int32))
+            vdata = v.data
+            if bias:
+                vdata = vdata - jnp.asarray(bias, vdata.dtype)
+            vals = pad2d(vdata.astype(jnp.int32))
         else:
             vals = pad2d(jnp.zeros((n_pad,), jnp.int32))
         row_valid = pad2d(dev.row_valid_mask().astype(jnp.int32))
@@ -327,14 +364,14 @@ class CompiledFilterAggregate:
         )
         parts = self.table.collect_parts(tx)
         num_codes = max(len(self.dictionary), 1)
-        num_digits = self._check_parts(parts)
+        num_digits, bias = self._check_parts(parts)
 
         sums = jnp.zeros((num_codes,), jnp.int64)
         counts = jnp.zeros((num_codes,), jnp.int64)
         per_part_counts = []
         per_part_first = []
         for p in parts:
-            codes, vals, sel = self._part_arrays(p)
+            codes, vals, sel = self._part_arrays(p, bias)
             if self.on_tpu:
                 s, c, first = pallas_group_sum_count(
                     codes, vals, sel, num_codes, num_digits
@@ -351,8 +388,11 @@ class CompiledFilterAggregate:
             per_part_counts.append(c)
             per_part_first.append(first)
 
-        sums_np = np.asarray(sums)
         counts_np = np.asarray(counts)
+        sums_np = np.asarray(sums)
+        if bias:
+            # Exact reconstruction of the unbiased sums (see _check_parts).
+            sums_np = sums_np + bias * counts_np
         if parts:
             part_counts = np.asarray(jnp.stack(per_part_counts))
             part_first = np.asarray(jnp.stack(per_part_first))
@@ -361,25 +401,63 @@ class CompiledFilterAggregate:
             order_arr = np.asarray([], dtype=np.int64)
 
         n = len(order_arr)
-        cols = [
-            Column(
+        by_name = {
+            spec.result_name: (
+                sums_np if spec.func == E.AGG_SUM else counts_np
+            )
+            for spec in self.aggs
+        }
+
+        def group_column():
+            return Column(
                 self.group_col,
                 KIND_DICT,
                 order_arr.astype(np.int32),
                 np.ones(n, dtype=bool),
                 self.dictionary,
             )
-        ]
-        for spec in self.aggs:
-            src = sums_np if spec.func == E.AGG_SUM else counts_np
-            cols.append(
-                Column(
-                    spec.result_name,
-                    KIND_INT64,
-                    src[order_arr] if n else src[:0],
-                    np.ones(n, dtype=bool),
-                )
+
+        def agg_column(out_name, src):
+            return Column(
+                out_name,
+                KIND_INT64,
+                src[order_arr] if n else src[:0],
+                np.ones(n, dtype=bool),
             )
+
+        if self.output_projection is None:
+            cols = [group_column()]
+            for spec in self.aggs:
+                cols.append(agg_column(spec.result_name, by_name[spec.result_name]))
+            return ColumnBatch(cols, n)
+
+        # Post-aggregation projection (the avg rewrite): evaluated on the
+        # [K]-sized host partials; the generic engine's Projection dedups
+        # output names first-wins, mirror that.
+        cols = []
+        seen: set[str] = set()
+        for item in self.output_projection:
+            if item[0] == "group":
+                col = group_column()
+            elif item[0] == "col":
+                _, out_name, src_name = item
+                col = agg_column(out_name, by_name[src_name])
+            else:  # ("div", out, sum_name, count_name)
+                _, out_name, s_name, c_name = item
+                s = by_name[s_name][order_arr] if n else by_name[s_name][:0]
+                c = by_name[c_name][order_arr] if n else by_name[c_name][:0]
+                # Go-style truncation toward zero; division by zero emits
+                # null — exactly ops/kernels.arith's integer "/" semantics.
+                valid = c != 0
+                safe_c = np.where(valid, c, 1)
+                q = s // safe_c
+                r = s - q * safe_c
+                q = q + ((s < 0) != (safe_c < 0)) * (r != 0)
+                col = Column(out_name, KIND_INT64, q, valid)
+            if col.name in seen:
+                continue
+            seen.add(col.name)
+            cols.append(col)
         return ColumnBatch(cols, n)
 
 
@@ -401,9 +479,19 @@ def lower_plan(plan) -> CompiledFilterAggregate:
     and falls back on ``NotCompilable``.
 
     Matched shape: TableScan <- [Filter(col cmp int-literal)] <- Aggregation
-    with one concrete dict-coded group column and sum/count aggregations.
+    <- [Projection] where the optional projection is the avg rewrite's
+    post-aggregation ``sum(x)/count(x) as avg(x)`` (builder.go:152-238) —
+    evaluated here as a truncating division on the [K]-sized host partials.
     """
     node = plan
+    proj_node = None
+    if (
+        node is not None
+        and node.projection is not None
+        and node.aggregation is None
+    ):
+        proj_node = node
+        node = node.input
     if node is None or node.aggregation is None:
         raise NotCompilable("root is not an aggregation")
     agg = node.aggregation
@@ -457,4 +545,45 @@ def lower_plan(plan) -> CompiledFilterAggregate:
             raise NotCompilable("filter literal is not an int")
         filter_spec = (filt.left.column_name, filt.op, lit)
 
-    return CompiledFilterAggregate(table, group_col, aggs, filter_spec)
+    output_projection = None
+    if proj_node is not None:
+        agg_names = {name for _f, _c, name in aggs}
+        output_projection = []
+        for e in proj_node.projection.exprs:
+            if type(e) is E.Column:
+                if e.column_name != group_col:
+                    raise NotCompilable("projection of a non-group column")
+                output_projection.append(("group",))
+            elif isinstance(e, E.AggregationFunction):
+                name = e.name()
+                if name not in agg_names:
+                    raise NotCompilable(f"projection references {name}")
+                output_projection.append(("col", name, name))
+            elif isinstance(e, E.AliasExpr):
+                inner = e.expr
+                if isinstance(inner, E.AggregationFunction):
+                    name = inner.name()
+                    if name not in agg_names:
+                        raise NotCompilable(f"projection references {name}")
+                    output_projection.append(("col", e.alias_name, name))
+                elif (
+                    isinstance(inner, E.BinaryExpr)
+                    and inner.op == E.OP_DIV
+                    and isinstance(inner.left, E.AggregationFunction)
+                    and isinstance(inner.right, E.AggregationFunction)
+                ):
+                    s_name, c_name = inner.left.name(), inner.right.name()
+                    if s_name not in agg_names or c_name not in agg_names:
+                        raise NotCompilable("division over unknown partials")
+                    output_projection.append(
+                        ("div", e.alias_name, s_name, c_name)
+                    )
+                else:
+                    # e.g. ConvertExpr counts (float avg) — generic path.
+                    raise NotCompilable("projection expr not compiled")
+            else:
+                raise NotCompilable("projection expr not compiled")
+
+    return CompiledFilterAggregate(
+        table, group_col, aggs, filter_spec, output_projection
+    )

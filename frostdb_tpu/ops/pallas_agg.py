@@ -37,12 +37,20 @@ SUB = 64
 ROWS_PER_SUPER = SUB * 128
 
 
-def _make_agg_kernel(num_digits: int, fused_compare: bool = False):
+def _make_agg_kernel(
+    num_digits: int, fused_compare: bool = False, num_code_tiles: int = 1
+):
     """Kernel factory: LHS rows are num_digits base-128 digit rows + the
     selection row, padded to the 8-sublane tile. With ``fused_compare`` the
     third input is a timestamp block compared against an SMEM literal inside
     the kernel (saves materializing the selection vector through HBM);
-    otherwise it is a precomputed 0/1 selection block."""
+    otherwise it is a precomputed 0/1 selection block.
+
+    ``num_code_tiles`` tiles code spaces larger than one 128-lane
+    accumulator: each slab's LHS is built once and contracted against one
+    one-hot per code tile (``codes == iota + t*128``), so input HBM traffic
+    is unchanged and compute scales with ceil(K/128) — the dense one-hot
+    formulation's inherent N*K term."""
     pad = 8 - num_digits - 1
     assert pad >= 0, "at most 7 digits fit one accumulator tile"
 
@@ -74,26 +82,31 @@ def _make_agg_kernel(num_digits: int, fused_compare: bool = False):
         zeros_pad = jnp.zeros((pad, 128), jnp.int8) if pad else None
 
         c = c_ref[:]
-        acc = jnp.zeros((8, 128), dtype=jnp.int32)
+        accs = [
+            jnp.zeros((8, 128), dtype=jnp.int32) for _ in range(num_code_tiles)
+        ]
         # statically unrolled over slabs: all slices are compile-time
         # constant (int8/bf16 compares don't legalize; int32 it is)
         for s in range(SUB):
             row_c = c[s : s + 1, :]  # [1, 128] rows on lanes
-            onehot_t = (
-                jnp.broadcast_to(row_c, (128, 128)) == iota_sub
-            ).astype(jnp.int8)  # [k, r]
+            bc = jnp.broadcast_to(row_c, (128, 128))
             rows = [db[s : s + 1] for db in digit_blocks] + [selb[s : s + 1]]
             if zeros_pad is not None:
                 rows.append(zeros_pad)
             lhs = jnp.concatenate(rows, axis=0)  # [8, 128]
-            # contract rows on both minor dims (transposed-RHS orientation)
-            acc = acc + jax.lax.dot_general(
-                lhs,
-                onehot_t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-        out_ref[0] = acc
+            for t in range(num_code_tiles):
+                onehot_t = (bc == iota_sub + jnp.int32(t * 128)).astype(
+                    jnp.int8
+                )  # [k, r] for codes in [t*128, (t+1)*128)
+                # contract rows on both minor dims (transposed-RHS orientation)
+                accs[t] = accs[t] + jax.lax.dot_general(
+                    lhs,
+                    onehot_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        for t in range(num_code_tiles):
+            out_ref[0, :, t * 128 : (t + 1) * 128] = accs[t]
 
     return _agg_kernel
 
@@ -113,19 +126,21 @@ def pallas_group_sum_count(codes, values, sel, num_codes: int, num_digits: int =
     codes/values: [n_slabs, 128] int32 row-major slabs; sel: [n_slabs, 128]
     int32 0/1 selection (any predicate, evaluated upstream in XLA — it fuses
     into the kernel's input pipeline). values must be non-negative and
-    < 128**num_digits (num_digits <= 7). num_codes <= 128 (one accumulator
-    tile; larger K tiles over the lane dim in a follow-up round).
+    < 128**num_digits (num_digits <= 7); negative/large-magnitude int64
+    columns are handled by the caller's bias shift (compiled.py). num_codes
+    tiles over the lane dim: ceil(num_codes/128) accumulator tiles.
     """
     n_slabs = codes.shape[0]
     n_super = n_slabs // SUB
     assert n_super * SUB == n_slabs, (n_slabs, SUB)
-    assert num_codes <= 128
+    tiles = -(-num_codes // 128)
+    k_pad = tiles * 128
 
     # NB: index-map constants must be int32 — with jax_enable_x64 a bare
     # python 0 traces as i64 and Mosaic fails to legalize the kernel's
     # func.return.
     out = pl.pallas_call(
-        _make_agg_kernel(num_digits),
+        _make_agg_kernel(num_digits, num_code_tiles=tiles),
         grid=(n_super,),
         in_specs=[
             pl.BlockSpec(
@@ -139,11 +154,11 @@ def pallas_group_sum_count(codes, values, sel, num_codes: int, num_digits: int =
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, 128),
+            (1, 8, k_pad),
             lambda i: (i, jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_super, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, k_pad), jnp.int32),
     )(codes, values, sel)
 
     parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
@@ -166,10 +181,11 @@ def pallas_filter_group_sum_count(
     n_slabs = codes.shape[0]
     n_super = n_slabs // SUB
     assert n_super * SUB == n_slabs, (n_slabs, SUB)
-    assert num_codes <= 128
+    tiles = -(-num_codes // 128)
+    k_pad = tiles * 128
     lit = jnp.asarray([literal], dtype=jnp.int32)
     out = pl.pallas_call(
-        _make_agg_kernel(num_digits, fused_compare=True),
+        _make_agg_kernel(num_digits, fused_compare=True, num_code_tiles=tiles),
         grid=(n_super,),
         in_specs=[
             pl.BlockSpec(
@@ -186,11 +202,11 @@ def pallas_filter_group_sum_count(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, 128),
+            (1, 8, k_pad),
             lambda i: (i, jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_super, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, k_pad), jnp.int32),
     )(codes, values, ts.astype(jnp.int32), lit)
 
     parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
