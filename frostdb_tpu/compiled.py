@@ -8,11 +8,12 @@ when the planner can PROVE the fast pattern:
 
 - group keys are table-global dictionary codes with a combined code space
   <= 2048 (the kernel lane-tiles one accumulator tile per 128 codes),
-- aggregations are sum/count of an int column whose raw-value *span*
-  (max - min over all visible parts) fits 32 bits — negative and
+- aggregations are sum/count/min/max of an int column whose raw-value
+  *span* (max - min over all visible parts) fits 32 bits — negative and
   large-magnitude columns (e.g. nanosecond timestamps) are shifted by the
   global minimum on device and reconstructed exactly as
-  ``kernel_sum + bias * count``,
+  ``kernel_sum + bias * count`` (the shift is order-preserving, so min/max
+  just add the bias back),
 - the filter is a single comparison on a numeric column (fused into the
   kernel) or absent,
 - no null group keys and no external data sources (those fall back to the
@@ -122,17 +123,20 @@ class CompiledFilterAggregate:
 
         self.aggs = []
         self.value_col: Optional[str] = None
+        self.need_minmax = False
         for spec in aggs:
             func, col = spec[0], spec[1]
             result_name = spec[2] if len(spec) > 2 else f"{func}({col})"
-            if func not in (E.AGG_SUM, E.AGG_COUNT):
+            if func not in (E.AGG_SUM, E.AGG_COUNT, E.AGG_MIN, E.AGG_MAX):
                 raise NotCompilable(f"agg {func} not in compiled set")
-            if func == E.AGG_SUM:
+            if func in (E.AGG_MIN, E.AGG_MAX):
+                self.need_minmax = True
+            if func != E.AGG_COUNT:
                 if self.value_col is not None and self.value_col != col:
-                    raise NotCompilable("one summed column per compiled query")
+                    raise NotCompilable("one value column per compiled query")
                 vdef = schema.column_by_name(col)
                 if vdef is not None and vdef.layout.type != "int64":
-                    raise NotCompilable("compiled sums are int columns")
+                    raise NotCompilable("compiled aggs are int columns")
                 self.value_col = col
             self.aggs.append(_AggSpec(func, col, result_name))
         if self.filter is not None:
@@ -354,8 +358,15 @@ class CompiledFilterAggregate:
     def execute(self) -> ColumnBatch:
         import jax.numpy as jnp
 
-        from .ops.fused import filter_group_scatter, first_selected_row
-        from .ops.pallas_agg import pallas_group_sum_count
+        from .ops.fused import (
+            filter_group_scatter,
+            first_selected_row,
+            group_min_max_scatter,
+        )
+        from .ops.pallas_agg import (
+            pallas_group_min_max,
+            pallas_group_sum_count,
+        )
 
         tx = (
             self.table.db.high_watermark()
@@ -368,6 +379,8 @@ class CompiledFilterAggregate:
 
         sums = jnp.zeros((num_codes,), jnp.int64)
         counts = jnp.zeros((num_codes,), jnp.int64)
+        mins = jnp.full((num_codes,), _INT32_MAX, jnp.int32)
+        maxs = jnp.full((num_codes,), _INT32_MIN, jnp.int32)
         per_part_counts = []
         per_part_first = []
         for p in parts:
@@ -376,6 +389,8 @@ class CompiledFilterAggregate:
                 s, c, first = pallas_group_sum_count(
                     codes, vals, sel, num_codes, num_digits
                 )
+                if self.need_minmax:
+                    mn, mx = pallas_group_min_max(codes, vals, sel, num_codes)
             else:
                 flat_codes = codes.reshape(-1)
                 flat_sel = sel.reshape(-1) > 0
@@ -383,8 +398,15 @@ class CompiledFilterAggregate:
                     flat_codes, vals.reshape(-1), flat_sel, num_codes
                 )
                 first = first_selected_row(flat_codes, flat_sel, num_codes)
+                if self.need_minmax:
+                    mn, mx = group_min_max_scatter(
+                        flat_codes, vals.reshape(-1), flat_sel, num_codes
+                    )
             sums = sums + s
             counts = counts + c
+            if self.need_minmax:
+                mins = jnp.minimum(mins, mn)
+                maxs = jnp.maximum(maxs, mx)
             per_part_counts.append(c)
             per_part_first.append(first)
 
@@ -393,6 +415,12 @@ class CompiledFilterAggregate:
         if bias:
             # Exact reconstruction of the unbiased sums (see _check_parts).
             sums_np = sums_np + bias * counts_np
+        mins_np = maxs_np = None
+        if self.need_minmax:
+            # Sentinels only survive for codes with no selected rows, which
+            # are never emitted; the bias shift is order-preserving.
+            mins_np = np.asarray(mins).astype(np.int64) + bias
+            maxs_np = np.asarray(maxs).astype(np.int64) + bias
         if parts:
             part_counts = np.asarray(jnp.stack(per_part_counts))
             part_first = np.asarray(jnp.stack(per_part_first))
@@ -401,11 +429,14 @@ class CompiledFilterAggregate:
             order_arr = np.asarray([], dtype=np.int64)
 
         n = len(order_arr)
+        src_by_func = {
+            E.AGG_SUM: sums_np,
+            E.AGG_COUNT: counts_np,
+            E.AGG_MIN: mins_np,
+            E.AGG_MAX: maxs_np,
+        }
         by_name = {
-            spec.result_name: (
-                sums_np if spec.func == E.AGG_SUM else counts_np
-            )
-            for spec in self.aggs
+            spec.result_name: src_by_func[spec.func] for spec in self.aggs
         }
 
         def group_column():

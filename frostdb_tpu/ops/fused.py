@@ -102,6 +102,22 @@ def first_selected_row(codes, sel, num_codes: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_codes",))
+def group_min_max_scatter(codes, values, sel, num_codes: int):
+    """Grouped min/max over selected rows via XLA segment reductions (the
+    non-TPU twin of pallas_group_min_max; same int32 sentinel contract)."""
+    big = jnp.int32(2**31 - 1)
+    small = jnp.int32(-(2**31))
+    safe = jnp.where(sel, codes, num_codes)
+    mins = jax.ops.segment_min(
+        jnp.where(sel, values, big), safe, num_segments=num_codes + 1
+    )[:num_codes]
+    maxs = jax.ops.segment_max(
+        jnp.where(sel, values, small), safe, num_segments=num_codes + 1
+    )[:num_codes]
+    return mins, maxs
+
+
+@functools.partial(jax.jit, static_argnames=("num_codes",))
 def filter_group_scatter(codes, values, sel, num_codes: int):
     """Scatter-add formulation (XLA scatter) — the comparison point."""
     safe = jnp.where(sel, codes, num_codes)

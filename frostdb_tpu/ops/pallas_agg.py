@@ -217,6 +217,111 @@ def pallas_filter_group_sum_count(
     return sums, counts
 
 
+_I32_MAX = 2**31 - 1
+_I32_MIN = -(2**31)
+
+
+def _make_minmax_kernel(num_code_tiles: int):
+    """Grouped min/max kernel: per slab, mask the broadcast value tile with
+    the one-hot (code k on sublanes, row r on lanes) and fold elementwise
+    minimum/maximum into per-tile accumulators — pure VPU work, no matmul.
+    The output blocks use a CONSTANT index map, so they stay resident in
+    VMEM across the whole grid (the standard revisited-accumulator pattern):
+    HBM output traffic is one [tiles*128, 128] tile total, and the final
+    lane reduction happens outside in XLA on that tiny buffer."""
+
+    def _kernel(c_ref, v_ref, sel_ref, min_ref, max_ref):
+        i = pl.program_id(0)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        c = c_ref[:]
+        v = v_ref[:]
+        sel32 = sel_ref[:]
+        mins = [
+            jnp.full((128, 128), _I32_MAX, jnp.int32)
+            for _ in range(num_code_tiles)
+        ]
+        maxs = [
+            jnp.full((128, 128), _I32_MIN, jnp.int32)
+            for _ in range(num_code_tiles)
+        ]
+        for s in range(SUB):
+            bc = jnp.broadcast_to(c[s : s + 1, :], (128, 128))
+            bv = jnp.broadcast_to(v[s : s + 1, :], (128, 128))
+            bsel = jnp.broadcast_to(sel32[s : s + 1, :], (128, 128)) > 0
+            for t in range(num_code_tiles):
+                m = (bc == iota_sub + jnp.int32(t * 128)) & bsel
+                mins[t] = jnp.minimum(
+                    mins[t], jnp.where(m, bv, jnp.int32(_I32_MAX))
+                )
+                maxs[t] = jnp.maximum(
+                    maxs[t], jnp.where(m, bv, jnp.int32(_I32_MIN))
+                )
+        for t in range(num_code_tiles):
+            lo, hi = t * 128, (t + 1) * 128
+
+            @pl.when(i == 0)
+            def _(t=t, lo=lo, hi=hi):
+                min_ref[lo:hi, :] = mins[t]
+                max_ref[lo:hi, :] = maxs[t]
+
+            @pl.when(i > 0)
+            def _(t=t, lo=lo, hi=hi):
+                min_ref[lo:hi, :] = jnp.minimum(min_ref[lo:hi, :], mins[t])
+                max_ref[lo:hi, :] = jnp.maximum(max_ref[lo:hi, :], maxs[t])
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_codes",))
+def pallas_group_min_max(codes, values, sel, num_codes: int):
+    """Exact (mins[num_codes] int32, maxs[num_codes] int32) over selected
+    rows, with _I32_MAX/_I32_MIN sentinels for codes with no selected rows
+    (disambiguate with the sum/count kernel's counts). Same layout contract
+    as pallas_group_sum_count; values must fit int32 (compiled.py's bias
+    shift handles the general int64 case)."""
+    n_slabs = codes.shape[0]
+    n_super = n_slabs // SUB
+    assert n_super * SUB == n_slabs, (n_slabs, SUB)
+    tiles = -(-num_codes // 128)
+    k_pad = tiles * 128
+
+    out_min, out_max = pl.pallas_call(
+        _make_minmax_kernel(tiles),
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (k_pad, 128),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_pad, 128),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, 128), jnp.int32),
+            jax.ShapeDtypeStruct((k_pad, 128), jnp.int32),
+        ],
+    )(codes, values, sel)
+
+    mins = out_min.min(axis=1)[:num_codes]
+    maxs = out_max.max(axis=1)[:num_codes]
+    return mins, maxs
+
+
 def to_row_major(col):
     """[N] -> [N/128, 128] row-major slabs."""
     n = col.shape[0]

@@ -111,7 +111,7 @@ def test_not_compilable_patterns():
     with pytest.raises(NotCompilable):
         compile_filter_aggregate(table, "timestamp", [("sum", "value")])
     with pytest.raises(NotCompilable):
-        compile_filter_aggregate(table, "example_type", [("min", "value")])
+        compile_filter_aggregate(table, "example_type", [("unique", "value")])
 
 
 # ---------------------------------------------------------------------------
@@ -330,6 +330,38 @@ def test_compiled_large_code_space_lane_tiled():
     db2, table2 = _setup_values(list(range(2100)), types=types)
     with pytest.raises(NotCompilable):
         compile_filter_aggregate(table2, "example_type", [("sum", "value")])
+
+
+def test_compiled_min_max():
+    """min/max lower onto the dense kernels (VPU masked min/max on TPU,
+    segment reductions elsewhere); parity incl. the bias-shifted case."""
+    rng = np.random.default_rng(5)
+    for values in (
+        rng.integers(0, 100000, 3000),
+        rng.integers(-80000, 80000, 3000),  # bias path
+    ):
+        db, table = _setup_values(list(values))
+        aggs = [
+            E.Min(E.Col("value")),
+            E.Max(E.Col("value")),
+            E.Sum(E.Col("value")),
+            E.Count(E.Col("value")),
+        ]
+        for filt in (None, E.Col("timestamp").gt_eq(1500)):
+            from frostdb_tpu.compiled import lower_plan
+            from frostdb_tpu.query.logical import Builder
+            from frostdb_tpu.query.optimize import optimize
+
+            b = Builder().scan(db.table_provider(), "t")
+            if filt is not None:
+                b = b.filter(filt)
+            plan = optimize(
+                b.aggregate(aggs, [E.Col("example_type")]).build()
+            )
+            lower_plan(plan)  # proves the shape compiles
+            fast = _run_engine(db, True, filt, aggs=aggs)
+            slow = _run_engine(db, False, filt, aggs=aggs)
+            assert _batch_tuples(fast) == _batch_tuples(slow)
 
 
 def test_engine_lowering_avg_projection():
