@@ -19,4 +19,8 @@ from .distributed import (  # noqa: F401
     distributed_distinct,
 )
 from .join import distributed_hash_join  # noqa: F401
-from .shuffle import shuffle_by_key, ShuffleOverflow  # noqa: F401
+from .shuffle import (  # noqa: F401
+    ShuffleOverflow,
+    shuffle_by_key,
+    shuffle_by_key_auto,
+)

@@ -10,15 +10,23 @@ dependent), exchanges, and compacts.
 Capacity: with roughly uniform keys each destination receives about
 ``rows/n_shards`` from each sender; ``oversub`` (default 2x) covers
 imbalance. Overflow is detected exactly (per-destination counts travel with
-the exchange) and surfaces as a ShuffleOverflow for the caller to retry
-with a larger factor — the skew-detection hook where key salting lands in a
-future round (SURVEY.md §7 hard parts).
+the exchange) and surfaces as a ShuffleOverflow.
+
+Skew (SURVEY.md §7 hard parts): a heavy key overflows its destination no
+matter the oversubscription — hashing co-locates ALL its rows. ``salt=S``
+spreads each key over S shards (sub-shard = row position mod S, mixed into
+the destination hash), so per-destination load is bounded by
+``rows_of_heaviest_key / S``; consumers must then combine per-key partials
+across sub-shards (natural for aggregations — the two-phase combine already
+does it; join build sides need salt=1 or broadcast).
+``shuffle_by_key_auto`` is the skew-aware entry: it detects overflow and
+escalates the salt geometrically instead of blowing up capacity.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +45,17 @@ def shuffle_by_key(
     table: PartitionedTable,
     key: str,
     oversub: float = 2.0,
+    salt: int = 1,
 ) -> PartitionedTable:
-    """Repartition so equal keys co-locate. Returns a new PartitionedTable
-    whose shards hold the exchanged rows (padding rows invalid)."""
+    """Repartition so equal keys co-locate (salt=1) or spread over ``salt``
+    shards (skewed keys; see module docstring). Returns a new
+    PartitionedTable whose shards hold the exchanged rows (padding rows
+    invalid)."""
     mesh = table.mesh
     axis = table.axis
     n_shards = table.n_shards
     per_shard = table.n_pad // n_shards
+    salt = max(1, min(int(salt), n_shards))
     # per-destination bucket capacity per sender (tile-aligned)
     cap = int(np.ceil(per_shard / n_shards * oversub / 128)) * 128
     cap = max(cap, 128)
@@ -57,6 +69,14 @@ def shuffle_by_key(
         dest = (
             hash_int64_device(kdata.astype(jnp.int64)) % n_shards
         ).astype(jnp.int32)
+        if salt > 1:
+            # Sub-shard by row position: a key's rows round-robin over salt
+            # consecutive destinations, bounding any one shard's share of a
+            # heavy key to 1/salt of its rows per sender.
+            sub = (
+                jnp.arange(kdata.shape[0], dtype=jnp.int32) % jnp.int32(salt)
+            )
+            dest = (dest + sub) % jnp.int32(n_shards)
         dest = jnp.where(kvalid, dest, jnp.int32(n_shards))  # invalid last
 
         # stable sort rows by destination
@@ -125,3 +145,37 @@ def shuffle_by_key(
         src = table.column(n)
         out.columns[n] = ShardedColumn(n, src.kind, data, valid)
     return out
+
+
+def shuffle_by_key_auto(
+    table: PartitionedTable,
+    key: str,
+    oversub: float = 2.0,
+    max_salt: Optional[int] = None,
+) -> tuple[PartitionedTable, int]:
+    """Skew-aware repartitioning: try the plain co-locating exchange, and on
+    overflow escalate the salt geometrically (1 -> 2 -> 4 ...) before giving
+    up — turning a heavy key's hot destination into balanced load instead of
+    growing every bucket (SURVEY.md §5.8 skew-aware repartitioning).
+
+    Returns ``(shuffled_table, salt_used)``; salt_used > 1 tells the caller
+    equal keys now live on salt_used shards, so aggregation consumers must
+    combine per-key partials across sub-shards (the two-phase final stage).
+    """
+    if max_salt is None:
+        max_salt = table.n_shards
+    salt = 1
+    while True:
+        try:
+            return shuffle_by_key(table, key, oversub=oversub, salt=salt), salt
+        except ShuffleOverflow:
+            if salt >= max_salt:
+                # fully salted and still overflowing: genuinely undersized
+                # buckets, not skew — grow capacity once, then give up.
+                return (
+                    shuffle_by_key(
+                        table, key, oversub=oversub * 2.0, salt=salt
+                    ),
+                    salt,
+                )
+            salt = min(salt * 2, max_salt)

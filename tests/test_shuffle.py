@@ -79,6 +79,57 @@ def test_shuffle_overflow_detected_and_retry():
     assert int(kv.sum()) == 4000
 
 
+def test_skewed_shuffle_auto_salts():
+    """A single heavy key overflows the plain exchange at any reasonable
+    oversub; the skew-aware entry salts instead, spreading the key over
+    multiple shards with balanced load, and per-key partial sums across
+    sub-shards still combine to the exact totals."""
+    from frostdb_tpu.parallel import shuffle_by_key_auto
+
+    b, t = _table(n=4000, skew_key=3)
+    t2, salt = shuffle_by_key_auto(t, "key", oversub=2.0)
+    assert salt > 1, "skew should be resolved by salting, not capacity"
+    k = np.asarray(t2.column("key").data)
+    kv = np.asarray(t2.column("key").validity)
+    v = np.asarray(t2.column("v").data)
+    assert int(kv.sum()) == 4000
+    # balanced: the heavy key's rows spread over >= salt shards
+    n_shards = t2.n_shards
+    per_shard = t2.n_pad // n_shards
+    shards_with_rows = sum(
+        1
+        for s in range(n_shards)
+        if kv[s * per_shard : (s + 1) * per_shard].any()
+    )
+    assert shards_with_rows >= min(salt, n_shards)
+    # exact per-key totals after combining sub-shard partials
+    sums: dict[int, int] = {}
+    for s in range(n_shards):
+        sl = slice(s * per_shard, (s + 1) * per_shard)
+        ks, vs = k[sl][kv[sl]], v[sl][kv[sl]]
+        for code in np.unique(ks):
+            sums[int(code)] = sums.get(int(code), 0) + int(vs[ks == code].sum())
+    codes_np = b.column("key").values
+    vals_np = b.column("v").values
+    for code in np.unique(codes_np):
+        assert sums[int(code)] == int(vals_np[codes_np == code].sum())
+
+
+def test_salted_shuffle_uniform_keys_unaffected():
+    """Salting a uniform table still preserves all rows exactly."""
+    b, t = _table(seed=21)
+    t2 = shuffle_by_key(t, "key", oversub=4.0, salt=4)
+    k = np.asarray(t2.column("key").data)
+    kv = np.asarray(t2.column("key").validity)
+    v = np.asarray(t2.column("v").data)
+    vv = np.asarray(t2.column("v").validity)
+    got = sorted(zip(k[kv].tolist(), v[vv].tolist()))
+    expect = sorted(
+        zip(b.column("key").values.tolist(), b.column("v").values.tolist())
+    )
+    assert got == expect
+
+
 def test_shuffled_local_aggregate_matches():
     """After the shuffle each shard owns disjoint keys: local exact grouping
     needs no cross-shard combine (the large-K aggregation strategy)."""
