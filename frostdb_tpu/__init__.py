@@ -39,8 +39,11 @@ from .columnbatch import ColumnBatch, Dictionary  # noqa: E402
 try:  # runtime layers land as they are built
     from .db import ColumnStore, DB  # noqa: E402
     from .table import Table, TableConfig  # noqa: E402
+    from .store import FileSystemBucket  # noqa: E402
+    from .iceberg import IcebergCatalog  # noqa: E402
 except ImportError:  # pragma: no cover - during bootstrap only
     ColumnStore = DB = Table = TableConfig = None
+    FileSystemBucket = IcebergCatalog = None
 
 __all__ = [
     "SchemaDef",
@@ -57,6 +60,8 @@ __all__ = [
     "DB",
     "Table",
     "TableConfig",
+    "FileSystemBucket",
+    "IcebergCatalog",
 ]
 
 __version__ = "0.1.0"
