@@ -1,12 +1,17 @@
 """Write-ahead log (reference: wal/wal.go FileWAL).
 
-Append-only segment files of framed entries. Each entry:
+Append-only segment files of binary-framed entries (the reference frames
+protobuf records in its segment store; JSON framing was the round-1
+bootstrap). Each entry:
 
-    [u32 header_len][u32 crc32(header+body)][header json][body bytes]
+    [u8 magic=0xF5][u8 kind][u16 table_len][u16 block_id_len]
+    [u32 body_len][u64 tx][u32 crc32(prefix+payload)]
+    [table][block_id][body]
 
-Header: {"tx": int, "kind": ..., "table": ...}; the body of a "write" entry
-is the record batch as Arrow IPC (the reference serializes Arrow IPC inside
-its protobuf Entry_Write, wal/wal.go:558 LogRecord).
+The body of a "write" entry is the record batch as Arrow IPC (the
+reference serializes Arrow IPC inside its protobuf Entry_Write,
+wal/wal.go:558 LogRecord); a "new_table_block" body is the JSON table
+config (persisted in the WAL and restored on replay, db.go:747-760).
 
 Entries are appended in transaction order; replay tolerates a corrupt tail
 by truncating at the first bad frame (the reference's segment self-repair,
@@ -33,7 +38,18 @@ KIND_NEW_TABLE_BLOCK = "new_table_block"
 KIND_TABLE_BLOCK_PERSISTED = "table_block_persisted"
 KIND_SNAPSHOT = "snapshot"
 
-_FRAME = struct.Struct("<II")
+_KIND_CODES = {
+    KIND_WRITE: 0,
+    KIND_NEW_TABLE_BLOCK: 1,
+    KIND_TABLE_BLOCK_PERSISTED: 2,
+    KIND_SNAPSHOT: 3,
+}
+_KIND_NAMES = {v: k for k, v in _KIND_CODES.items()}
+
+_MAGIC = 0xF5
+# magic u8 | kind u8 | table_len u16 | block_id_len u16 | body_len u32 | tx u64
+_PREFIX = struct.Struct("<BBHHIQ")
+_CRC = struct.Struct("<I")
 SEGMENT_MAX_BYTES = 8 * 1024 * 1024
 
 
@@ -127,12 +143,22 @@ class FileWAL:
 
     # -- logging -----------------------------------------------------------
 
-    def _append(self, tx: int, kind: str, header_extra: dict, body: bytes) -> None:
-        header = {"tx": tx, "kind": kind, "bl": len(body)}
-        header.update(header_extra)
-        hb = json.dumps(header).encode("utf-8")
-        crc = zlib.crc32(hb + body) & 0xFFFFFFFF
-        frame = _FRAME.pack(len(hb), crc) + hb + body
+    def _append(
+        self,
+        tx: int,
+        kind: str,
+        body: bytes,
+        table: str = "",
+        block_id: str = "",
+    ) -> None:
+        tb = table.encode("utf-8")
+        bb = block_id.encode("utf-8")
+        prefix = _PREFIX.pack(
+            _MAGIC, _KIND_CODES[kind], len(tb), len(bb), len(body), tx
+        )
+        payload = tb + bb + body
+        crc = zlib.crc32(prefix + payload) & 0xFFFFFFFF
+        frame = prefix + _CRC.pack(crc) + payload
         if not self.sync and self._thread is not None:
             with self._cv:
                 self._queue.append((tx, frame))
@@ -152,28 +178,25 @@ class FileWAL:
         # persisted-block writes even when the block's NewTableBlock entry
         # lives in a truncated segment (caught by the DST).
         self._append(
-            tx, KIND_WRITE, {"table": table, "block_id": block_id},
-            batch_to_ipc(batch),
+            tx, KIND_WRITE, batch_to_ipc(batch), table=table, block_id=block_id
         )
 
     def log_new_table_block(self, tx: int, table: str, block_id: str, config) -> None:
         self._append(
             tx,
             KIND_NEW_TABLE_BLOCK,
-            {"table": table, "block_id": block_id, "config": config.to_dict()},
-            b"",
+            json.dumps(config.to_dict()).encode("utf-8"),
+            table=table,
+            block_id=block_id,
         )
 
     def log_table_block_persisted(self, tx: int, table: str, block_id: str) -> None:
         self._append(
-            tx,
-            KIND_TABLE_BLOCK_PERSISTED,
-            {"table": table, "block_id": block_id},
-            b"",
+            tx, KIND_TABLE_BLOCK_PERSISTED, b"", table=table, block_id=block_id
         )
 
     def log_snapshot(self, tx: int) -> None:
-        self._append(tx, KIND_SNAPSHOT, {}, b"")
+        self._append(tx, KIND_SNAPSHOT, b"")
 
     def flush(self) -> None:
         if not self.sync and self._thread is not None:
@@ -204,26 +227,35 @@ class FileWAL:
                 data = f.read()
             pos = 0
             good_end = 0
-            while pos + _FRAME.size <= len(data):
-                hlen, crc = _FRAME.unpack_from(data, pos)
-                hstart = pos + _FRAME.size
-                if hstart + hlen > len(data):
+            hsize = _PREFIX.size + _CRC.size
+            while pos + hsize <= len(data):
+                prefix = data[pos : pos + _PREFIX.size]
+                magic, kcode, tlen, blen, body_len, tx = _PREFIX.unpack(prefix)
+                if magic != _MAGIC or kcode not in _KIND_NAMES:
                     break
-                try:
-                    header = json.loads(data[hstart : hstart + hlen])
-                except Exception:
+                (crc,) = _CRC.unpack_from(data, pos + _PREFIX.size)
+                pstart = pos + hsize
+                pend = pstart + tlen + blen + body_len
+                if pend > len(data):
                     break
-                body_start = hstart + hlen
-                body_len = header.get("bl", 0)
-                if body_start + body_len > len(data):
-                    break
-                body = data[body_start : body_start + body_len]
-                if zlib.crc32(data[hstart : hstart + hlen] + body) & 0xFFFFFFFF != crc:
+                payload = data[pstart:pend]
+                if zlib.crc32(prefix + payload) & 0xFFFFFFFF != crc:
                     self.repairs += 1
                     break
-                pos = body_start + body_len
+                pos = pend
                 good_end = pos
-                tx = header["tx"]
+                kind = _KIND_NAMES[kcode]
+                header = {
+                    "tx": tx,
+                    "kind": kind,
+                    "table": payload[:tlen].decode("utf-8"),
+                    "block_id": payload[tlen : tlen + blen].decode("utf-8"),
+                    "bl": body_len,
+                }
+                body = payload[tlen + blen :]
+                if kind == KIND_NEW_TABLE_BLOCK:
+                    header["config"] = json.loads(body)
+                    body = b""
                 max_tx = max(max_tx, tx)
                 if tx >= from_tx:
                     collected.append((tx, header, body))
