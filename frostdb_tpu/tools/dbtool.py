@@ -105,6 +105,40 @@ def snapshot_inspect(path: str) -> None:
             )
 
 
+def parquet_reencode(path: str, schema_file: str, out_path: str) -> None:
+    """Re-encode a parquet file through a frostdb schema definition
+    (reference: cmd/parquet-reencode/main.go — open the file, re-sort rows
+    by the new schema's sorting columns, rewrite through its writer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..columnbatch import ColumnBatch, Dictionary
+    from ..schema import Schema, SchemaDef
+
+    with open(schema_file) as f:
+        sdef = SchemaDef.from_dict(json.load(f))
+    schema = Schema(sdef)
+
+    dicts: dict[str, Dictionary] = {}
+
+    def get_dictionary(fam: str) -> Dictionary:
+        return dicts.setdefault(fam.split(".", 1)[0], Dictionary())
+
+    t = pq.read_table(path)
+    batch = ColumnBatch.from_arrow(t, get_dictionary=get_dictionary)
+    sorting = schema.sorting_key_columns(batch.dynamic_columns())
+    batch = batch.sort_by(sorting)
+    out = pa.Table.from_batches([batch.to_arrow()])
+    out = out.replace_schema_metadata(
+        {b"frostdb_tpu.schema": json.dumps(sdef.to_dict()).encode()}
+    )
+    pq.write_table(out, out_path, compression="zstd")
+    print(
+        f"reencoded {batch.num_rows} rows -> {out_path} "
+        f"(sorted by {[n for n, _s in sorting]})"
+    )
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="dbtool")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -120,6 +154,10 @@ def main(argv=None) -> None:
     p.add_argument("--verbose", action="store_true")
     p = sub.add_parser("snapshot")
     p.add_argument("file")
+    p = sub.add_parser("reencode")
+    p.add_argument("file")
+    p.add_argument("schema")
+    p.add_argument("out")
     args = ap.parse_args(argv)
 
     if args.cmd == "parquet-stats":
@@ -132,6 +170,8 @@ def main(argv=None) -> None:
         wal_inspect(args.dir, args.verbose)
     elif args.cmd == "snapshot":
         snapshot_inspect(args.file)
+    elif args.cmd == "reencode":
+        parquet_reencode(args.file, args.schema, args.out)
 
 
 if __name__ == "__main__":

@@ -204,6 +204,42 @@ def test_dbtool_snapshot_and_wal(tmp_path, capsys):
     assert "entries:" in out and "write" in out
 
 
+def test_dbtool_reencode(tmp_path, capsys):
+    """reference: cmd/parquet-reencode — rewrite a parquet file through a
+    schema, re-sorting rows by its sorting columns."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.tools.dbtool import main as dbtool_main
+    from tests.test_db import _make_batch
+
+    store = ColumnStore(storage_path=str(tmp_path))
+    db = store.db("x")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    b = _make_batch(table)
+    # write an UNSORTED parquet file (reverse row order)
+    rev = b.take(np.arange(b.num_rows)[::-1])
+    import pyarrow as pa
+
+    src = os.path.join(str(tmp_path), "in.parquet")
+    pq.write_table(pa.Table.from_batches([rev.to_arrow()]), src)
+    sfile = os.path.join(str(tmp_path), "schema.json")
+    with open(sfile, "w") as f:
+        json.dump(sample_definition().to_dict(), f)
+    out_path = os.path.join(str(tmp_path), "out.parquet")
+    dbtool_main(["reencode", src, sfile, out_path])
+    out = capsys.readouterr().out
+    assert "reencoded" in out
+    t = pq.read_table(out_path)
+    ts = t.column("timestamp").to_pylist()
+    assert ts == sorted(ts)
+    assert b"frostdb_tpu.schema" in t.schema.metadata
+    store.close()
+
+
 def test_query_memory_limit():
     """reference: Test_DB_Limiter db_test.go:1666 — a query exceeding the
     limit fails with 'memory limit exceeded', others succeed."""
