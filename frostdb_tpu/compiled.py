@@ -410,8 +410,24 @@ class CompiledFilterAggregate:
             per_part_counts.append(c)
             per_part_first.append(first)
 
-        counts_np = np.asarray(counts)
-        sums_np = np.asarray(sums)
+        # ONE device->host fetch for the whole query: every [K]-sized result
+        # (and the per-part order partials) concatenates into a single int64
+        # blob sliced on the host. Each fetch is a full sync (a ~25 ms RTT
+        # through the axon tunnel); four separate fetches would quadruple
+        # serving latency.
+        P = len(parts)
+        blob_parts = [sums, counts]
+        if self.need_minmax:
+            blob_parts += [mins.astype(jnp.int64), maxs.astype(jnp.int64)]
+        if P:
+            blob_parts.append(jnp.stack(per_part_counts).ravel())
+            blob_parts.append(
+                jnp.stack(per_part_first).astype(jnp.int64).ravel()
+            )
+        blob = np.asarray(jnp.concatenate(blob_parts))
+        off = 0
+        sums_np = blob[off : off + num_codes]; off += num_codes
+        counts_np = blob[off : off + num_codes]; off += num_codes
         if bias:
             # Exact reconstruction of the unbiased sums (see _check_parts).
             sums_np = sums_np + bias * counts_np
@@ -419,11 +435,12 @@ class CompiledFilterAggregate:
         if self.need_minmax:
             # Sentinels only survive for codes with no selected rows, which
             # are never emitted; the bias shift is order-preserving.
-            mins_np = np.asarray(mins).astype(np.int64) + bias
-            maxs_np = np.asarray(maxs).astype(np.int64) + bias
-        if parts:
-            part_counts = np.asarray(jnp.stack(per_part_counts))
-            part_first = np.asarray(jnp.stack(per_part_first))
+            mins_np = blob[off : off + num_codes] + bias; off += num_codes
+            maxs_np = blob[off : off + num_codes] + bias; off += num_codes
+        if P:
+            part_counts = blob[off : off + P * num_codes].reshape(P, num_codes)
+            off += P * num_codes
+            part_first = blob[off : off + P * num_codes].reshape(P, num_codes)
             order_arr = self._emission_order(parts, part_counts, part_first)
         else:
             order_arr = np.asarray([], dtype=np.int64)
