@@ -79,8 +79,8 @@ def main() -> None:
     sums, counts = step(d0, jnp.int64(0), jnp.int32(50))
     sums_np = np.asarray(sums)
     counts_np = np.asarray(counts)
-    i = np.arange(n, dtype=np.uint64).astype(np.uint32) + np.uint32(7) * np.uint32(
-        0x9E3779B9
+    i = np.arange(n, dtype=np.uint64).astype(np.uint32) + np.uint32(
+        (7 * 0x9E3779B9) & 0xFFFFFFFF
     )
     h = (i * np.uint32(2654435761)) ^ (i >> 16)
     cc = (h % np.uint32(num_codes)).astype(np.int32)

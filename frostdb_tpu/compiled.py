@@ -89,7 +89,13 @@ class CompiledFilterAggregate:
         aggs: Sequence[tuple],  # (func, column[, result_name])
         filter: Optional[tuple[str, str, int]] = None,  # (col, op, literal)
         output_projection: Optional[Sequence[tuple]] = None,
+        ordered: bool = False,
     ):
+        # ordered: emit groups in key order (string-value asc) instead of
+        # first-occurrence order — set exactly when the generic planner
+        # would pick OrderedAggregate (physical._should_plan_ordered), so
+        # results stay byte-identical to the operator DAG either way.
+        self.ordered = ordered
         # output_projection: post-aggregation output spec (the avg rewrite's
         # ``sum(x)/count(x) as avg(x)`` projection, builder.go:152-238):
         #   ("group",)                     the group column
@@ -444,6 +450,13 @@ class CompiledFilterAggregate:
             order_arr = self._emission_order(parts, part_counts, part_first)
         else:
             order_arr = np.asarray([], dtype=np.int64)
+        if self.ordered and len(order_arr):
+            # OrderedAggregate emits groups sorted by key string value
+            # (ColumnBatch.sort_indices ranks dict codes via sort_ranks);
+            # keys are unique so a stable re-sort of the emitted codes by
+            # rank reproduces that order exactly.
+            ranks = self.dictionary.sort_ranks()
+            order_arr = order_arr[np.argsort(ranks[order_arr], kind="stable")]
 
         n = len(order_arr)
         src_by_func = {
@@ -521,7 +534,7 @@ def compile_filter_aggregate(table, group_col, aggs, filter=None):
 _COMPARE_FILTER_OPS = ("<", "<=", ">", ">=", "==", "!=")
 
 
-def lower_plan(plan) -> CompiledFilterAggregate:
+def lower_plan(plan, exec_options=None) -> CompiledFilterAggregate:
     """Pattern-match an *optimized* logical plan onto the compiled fast
     path. The engine calls this before building the generic operator DAG
     and falls back on ``NotCompilable``.
@@ -542,6 +555,7 @@ def lower_plan(plan) -> CompiledFilterAggregate:
         node = node.input
     if node is None or node.aggregation is None:
         raise NotCompilable("root is not an aggregation")
+    agg_node = node
     agg = node.aggregation
     node = node.input
     filt = None
@@ -632,6 +646,16 @@ def lower_plan(plan) -> CompiledFilterAggregate:
             else:
                 raise NotCompilable("projection expr not compiled")
 
+    # Mirror the generic planner's operator choice: when it would pick
+    # OrderedAggregate (physical._should_plan_ordered with ordering_ok=True —
+    # only scan/filter nodes sit below the aggregation in this pattern, and
+    # neither resets stream ordering), emit groups in key order.
+    ordered = False
+    if exec_options is not None and exec_options.ordered_aggregations:
+        from .query.physical import _should_plan_ordered
+
+        ordered = _should_plan_ordered(exec_options, True, agg_node)
+
     return CompiledFilterAggregate(
-        table, group_col, aggs, filter_spec, output_projection
+        table, group_col, aggs, filter_spec, output_projection, ordered=ordered
     )

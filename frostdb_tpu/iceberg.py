@@ -355,17 +355,36 @@ class IcebergCatalog:
             "current-snapshot-id": snapshot_id,
             "snapshots": snapshots,
         }
+        self._commit_metadata(tdir, new_meta)
+
+    def _commit_metadata(self, tdir: str, meta: dict) -> int:
+        """Atomically commit the next metadata version. The metadata file is
+        linked into place with O_EXCL semantics (``os.link`` fails if the
+        version already exists), so two concurrent committers race on the
+        version number and the loser gets ``CommitConflictError`` instead of
+        silently dropping the winner's snapshot (optimistic concurrency, the
+        Iceberg spec's commit rule; the reference delegates this to the
+        catalog implementation, storage/iceberg.go:329)."""
         v = self._version(tdir) + 1
         mpath = os.path.join(tdir, f"v{v}.metadata.json")
-        tmp = mpath + ".tmp"
+        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(new_meta, f)
-        os.replace(tmp, mpath)
+            json.dump(meta, f)
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{mpath}: version {v} was committed concurrently; "
+                f"re-read the table metadata and retry"
+            )
+        finally:
+            os.unlink(tmp)
         hint = os.path.join(tdir, "metadata", "version-hint.text")
         tmp = hint + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, hint)
+        return v
 
     @staticmethod
     def _iceberg_schema(field_ids: dict, types: dict) -> dict:
@@ -531,11 +550,20 @@ class IcebergCatalog:
 
     # -- maintenance ---------------------------------------------------------
 
-    def maintenance(self, db: str, table: str, keep_snapshots: int = 3) -> int:
-        """Expire old snapshots and delete orphaned metadata files
-        (iceberg.go:133 Maintenance; WithExpireSnapshotsOlderThan /
-        WithMetadataPreviousVersionsMax defaults iceberg.go:58-63). Returns
-        the number of files removed."""
+    def maintenance(
+        self,
+        db: str,
+        table: str,
+        keep_snapshots: int = 3,
+        orphan_age_s: float = 24 * 3600.0,
+    ) -> int:
+        """Expire old snapshots, delete orphaned metadata files, and remove
+        data files no surviving manifest references (iceberg.go:133
+        Maintenance; WithExpireSnapshotsOlderThan /
+        WithMetadataPreviousVersionsMax defaults iceberg.go:58-63;
+        DefaultOrphanedFileAge guards in-flight uploads — a data file is
+        only orphan-deleted once older than ``orphan_age_s``). Returns the
+        number of files removed."""
         tdir = self._table_dir(db, table)
         meta = self._metadata(tdir)
         if meta is None:
@@ -546,14 +574,23 @@ class IcebergCatalog:
         keep = snaps[-keep_snapshots:]
         keep_ids = {s["snapshot-id"] for s in keep}
 
-        # Manifests referenced by surviving snapshots stay.
+        # Manifests (and the data files they point to) referenced by
+        # surviving snapshots stay.
         referenced: set[str] = set()
+        live_data: set[str] = set()
         for s in keep:
             referenced.add(s["manifest-list"])
             _m, manifests = avro.read_container(
                 open(s["manifest-list"], "rb").read()
             )
             referenced.update(m["manifest_path"] for m in manifests)
+            for m in manifests:
+                _m2, entries = avro.read_container(
+                    open(m["manifest_path"], "rb").read()
+                )
+                live_data.update(
+                    e["data_file"]["file_path"] for e in entries
+                )
 
         removed = 0
         mdir = os.path.join(tdir, "metadata")
@@ -563,18 +600,27 @@ class IcebergCatalog:
                 os.remove(path)
                 removed += 1
 
+        # Orphaned data files: referenced only by expired snapshots (or by
+        # nothing at all, e.g. a crashed upload). The age guard keeps an
+        # in-flight upload's freshly-written file safe until its snapshot
+        # commit lands (iceberg.go:133 removes orphans older than
+        # DefaultOrphanedFileAge).
+        ddir = os.path.join(tdir, "data")
+        now = time.time()
+        if os.path.isdir(ddir):
+            for fn in os.listdir(ddir):
+                path = os.path.join(ddir, fn)
+                if path in live_data or not fn.endswith(".parquet"):
+                    continue
+                if now - os.path.getmtime(path) >= orphan_age_s:
+                    os.remove(path)
+                    removed += 1
+
         meta["snapshots"] = keep
         if meta["current-snapshot-id"] not in keep_ids:
             meta["current-snapshot-id"] = keep[-1]["snapshot-id"]
-        v = self._version(tdir) + 1
-        mpath = os.path.join(tdir, f"v{v}.metadata.json")
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(meta, f)
-        os.replace(mpath + ".tmp", mpath)
-        hint = os.path.join(tdir, "metadata", "version-hint.text")
-        with open(hint + ".tmp", "w") as f:
-            f.write(str(v))
-        os.replace(hint + ".tmp", hint)
+        self._commit_metadata(tdir, meta)
+        v = self._version(tdir)
         # Drop superseded metadata versions beyond the previous 3
         # (WithMetadataPreviousVersionsMax(3), iceberg.go:62).
         for fn in os.listdir(tdir):
@@ -587,6 +633,11 @@ class IcebergCatalog:
                     os.remove(os.path.join(tdir, fn))
                     removed += 1
         return removed
+
+
+class CommitConflictError(Exception):
+    """Another writer committed the same metadata version concurrently;
+    the caller must re-read table metadata and retry its commit."""
 
 
 class IcebergUnavailable(ImportError):

@@ -97,7 +97,7 @@ class LocalQueryBuilder:
             from ..compiled import NotCompilable, lower_plan
 
             try:
-                out = lower_plan(plan).execute()
+                out = lower_plan(plan, self.engine.exec_options).execute()
                 if out.num_rows > 0:
                     callback(out)
                 return

@@ -76,7 +76,7 @@ def wal_inspect(path: str, verbose: bool) -> None:
         if verbose:
             print(json.dumps({k: v for k, v in header.items() if k != "bl"}))
 
-    w.replay(h, from_tx=0)
+    w.replay(h, from_tx=0, repair=False)
     print(f"entries: {sum(counts.values())}  kinds: {counts}")
     if txs:
         print(f"tx range: {min(txs)}..{max(txs)}")

@@ -46,6 +46,13 @@ _KIND_CODES = {
 }
 _KIND_NAMES = {v: k for k, v in _KIND_CODES.items()}
 
+class WALUnknownFormatError(Exception):
+    """A WAL segment does not start with a recognizable frame. Refusing to
+    replay protects against silently truncating an entire segment written by
+    a different (older/newer) framing version — truncation-based self-repair
+    only applies to a torn *tail* behind at least one valid frame."""
+
+
 _MAGIC = 0xF5
 # magic u8 | kind u8 | table_len u16 | block_id_len u16 | body_len u32 | tx u64
 _PREFIX = struct.Struct("<BBHHIQ")
@@ -211,13 +218,26 @@ class FileWAL:
 
     # -- replay ------------------------------------------------------------
 
-    def replay(self, handler: Callable[[dict, bytes], None], from_tx: int = 0) -> int:
+    def replay(
+        self,
+        handler: Callable[[dict, bytes], None],
+        from_tx: int = 0,
+        repair: bool = True,
+    ) -> int:
         """Replay entries with tx >= from_tx in global transaction order;
         returns the max tx seen (reference: wal/wal.go:618 Replay; the
         reference's writer enforces tx order at log time via its heap,
         wal/wal.go:360 — here replay sorts, which also tolerates entries
         appended out of order across segment boundaries). Corrupt tails
-        truncate (self-repair, wal/wal.go:216)."""
+        truncate (self-repair, wal/wal.go:216) when ``repair`` is set;
+        read-only inspection (dbtool) passes repair=False to leave segment
+        bytes untouched.
+
+        Version safety: a segment whose FIRST frame is unreadable (bad magic)
+        raises ``WALUnknownFormatError`` instead of truncating — a framing
+        change must never masquerade as a torn tail and silently drop a
+        whole segment. Frames with a valid CRC but an unknown kind code
+        (written by a newer version) are skipped, not treated as corruption."""
         self.flush()
         max_tx = 0
         collected: list[tuple[int, dict, bytes]] = []
@@ -231,7 +251,15 @@ class FileWAL:
             while pos + hsize <= len(data):
                 prefix = data[pos : pos + _PREFIX.size]
                 magic, kcode, tlen, blen, body_len, tx = _PREFIX.unpack(prefix)
-                if magic != _MAGIC or kcode not in _KIND_NAMES:
+                if magic != _MAGIC:
+                    if good_end == 0:
+                        raise WALUnknownFormatError(
+                            f"{path}: segment does not start with a "
+                            f"recognizable WAL frame (magic "
+                            f"0x{magic:02X} != 0x{_MAGIC:02X}); refusing to "
+                            f"replay/repair — written by another version?"
+                        )
+                    self.repairs += 1
                     break
                 (crc,) = _CRC.unpack_from(data, pos + _PREFIX.size)
                 pstart = pos + hsize
@@ -244,6 +272,10 @@ class FileWAL:
                     break
                 pos = pend
                 good_end = pos
+                if kcode not in _KIND_NAMES:
+                    # CRC-valid frame of an unknown kind: forward-compatible
+                    # skip (a newer writer's entry), never a truncation point.
+                    continue
                 kind = _KIND_NAMES[kcode]
                 header = {
                     "tx": tx,
@@ -259,7 +291,7 @@ class FileWAL:
                 max_tx = max(max_tx, tx)
                 if tx >= from_tx:
                     collected.append((tx, header, body))
-            if good_end < len(data):
+            if good_end < len(data) and repair:
                 # truncate torn tail (self-repair)
                 self.repairs_lost_records += 1
                 with open(path, "r+b") as f:
@@ -331,7 +363,7 @@ class NopWAL:
     def log_snapshot(self, *a, **k):
         pass
 
-    def replay(self, handler, from_tx: int = 0) -> int:
+    def replay(self, handler, from_tx: int = 0, repair: bool = True) -> int:
         return 0
 
     def truncate(self, tx: int) -> None:

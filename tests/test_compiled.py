@@ -217,6 +217,71 @@ def test_engine_lowering_order_parity_filtered_first_occurrence():
     assert order == ["d", "a", "b", "c"]
 
 
+def _run_engine_opts(db, compiled, filter_expr, aggs, ordered):
+    from frostdb_tpu.query.physical import ExecOptions
+
+    engine = LocalEngine(
+        db.table_provider(),
+        ExecOptions(compiled_serving=compiled, ordered_aggregations=ordered),
+    )
+    q = engine.scan_table("t")
+    if filter_expr is not None:
+        q = q.filter(filter_expr)
+    out = []
+    q.aggregate(aggs, [E.Col("example_type")]).execute(out.append)
+    return out
+
+
+def test_engine_lowering_ordered_aggregations_parity():
+    """With ExecOptions(ordered_aggregations=True) the generic planner picks
+    OrderedAggregate (key-order emission) for a single-agg group-by on the
+    schema's primary sorting column; the compiled path must match that order,
+    not first-occurrence (round-1 advisor finding: engine.py gate)."""
+    store = ColumnStore()
+    db = store.db("ord")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    d_et = table.dictionary("example_type")
+
+    def part(types, vals):
+        n = len(types)
+        et, etv = d_et.encode(types)
+        return ColumnBatch(
+            [
+                Column("example_type", KIND_DICT, et, etv, d_et),
+                Column(
+                    "value",
+                    KIND_INT64,
+                    np.asarray(vals, dtype=np.int64),
+                    np.ones(n, dtype=bool),
+                ),
+            ],
+            n,
+        )
+
+    # LSM scan order is newest part first, so first-occurrence order across
+    # the part stream is zzz, aaa — the ordered path must emit aaa first.
+    table.insert_record(part(["aaa", "zzz"], [3, 4]))
+    table.insert_record(part(["zzz", "zzz"], [1, 2]))
+
+    aggs = [E.Sum(E.Col("value"))]
+    fast = _run_engine_opts(db, True, None, aggs, ordered=True)
+    slow = _run_engine_opts(db, False, None, aggs, ordered=True)
+    assert _batch_tuples(fast) == _batch_tuples(slow)
+    order = [
+        fast[0].column("example_type").py_value(i)
+        for i in range(fast[0].num_rows)
+    ]
+    assert order == ["aaa", "zzz"]
+
+    # Two agg exprs: shouldPlanOrderedAggregate rejects (>1 agg), so the
+    # generic engine hash-aggregates in first-occurrence order — the
+    # compiled path must NOT sort in that case.
+    aggs2 = [E.Sum(E.Col("value")), E.Count(E.Col("value"))]
+    fast2 = _run_engine_opts(db, True, None, aggs2, ordered=True)
+    slow2 = _run_engine_opts(db, False, None, aggs2, ordered=True)
+    assert _batch_tuples(fast2) == _batch_tuples(slow2)
+
+
 def test_engine_lowering_null_group_keys_fall_back():
     """Null group keys take the generic path (which emits a null-key
     group); lowering must not change results."""

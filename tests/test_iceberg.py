@@ -272,3 +272,56 @@ def test_iceberg_maintenance_expires_snapshots(tmp_path):
     got = cat.scan("test", "t", table._schema, None, table.dictionary)
     assert sum(b.num_rows for b in got) == 36
     store.close()
+
+
+def test_iceberg_maintenance_removes_orphaned_data_files(tmp_path):
+    """Data files referenced by no surviving manifest (e.g. a crashed
+    upload that never committed its snapshot) are orphan-cleaned once past
+    the age guard; live files survive (iceberg.go:133
+    DefaultOrphanedFileAge)."""
+    cat = IcebergCatalog(str(tmp_path / "w"))
+    store = ColumnStore(storage_path=str(tmp_path / "db"))
+    db = store.db("test")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    for i in range(6):
+        cat.upload_block(
+            "test", "t", f"b{i}", _batch(table, ts_start=i * 10), table._schema
+        )
+    ddir = tmp_path / "w" / "test" / "t" / "data"
+    orphan = ddir / "crashed-upload.parquet"
+    orphan.write_bytes(b"not a real parquet")
+    fresh_orphan = ddir / "inflight-upload.parquet"
+    fresh_orphan.write_bytes(b"also not parquet")
+    old = 0  # epoch: far past any age guard
+    os.utime(orphan, (old, old))
+
+    removed = cat.maintenance("test", "t", keep_snapshots=2)
+    assert removed > 0
+    assert not orphan.exists()  # aged orphan removed
+    assert fresh_orphan.exists()  # age guard protects in-flight uploads
+    # every committed data file still present and readable
+    got = cat.scan("test", "t", table._schema, None, table.dictionary)
+    assert sum(b.num_rows for b in got) == 36
+    store.close()
+
+
+def test_iceberg_commit_conflict_detected(tmp_path):
+    """Two writers racing on the same metadata version: the loser raises
+    CommitConflictError instead of silently dropping the winner's commit."""
+    from frostdb_tpu.iceberg import CommitConflictError
+
+    cat = IcebergCatalog(str(tmp_path / "w"))
+    store = ColumnStore(storage_path=str(tmp_path / "db"))
+    db = store.db("test")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    cat.upload_block("test", "t", "b0", _batch(table), table._schema)
+    tdir = tmp_path / "w" / "test" / "t"
+    v = int((tdir / "metadata" / "version-hint.text").read_text())
+    # simulate a concurrent winner: v+1 already exists on disk
+    winner = (tdir / f"v{v + 1}.metadata.json")
+    winner.write_text((tdir / f"v{v}.metadata.json").read_text())
+    with pytest.raises(CommitConflictError):
+        cat.upload_block("test", "t", "b1", _batch(table), table._schema)
+    # winner's metadata untouched; hint still at v
+    assert int((tdir / "metadata" / "version-hint.text").read_text()) == v
+    store.close()

@@ -64,6 +64,110 @@ def test_wal_truncate_drops_whole_segments(tmp_path):
     w.close()
 
 
+def test_wal_unknown_format_refuses_instead_of_truncating(tmp_path):
+    """A segment written by another framing version (bad magic at offset 0)
+    must raise, NOT self-repair into an empty file (round-1 advisor
+    finding: the JSON->binary upgrade would have silently zeroed every
+    segment)."""
+    from frostdb_tpu.wal import WALUnknownFormatError
+
+    path = tmp_path / "00000000000000000001.wal"
+    legacy = b'{"tx": 1, "kind": "write"}' + b"x" * 100
+    path.write_bytes(legacy)
+    w = FileWAL(str(tmp_path))
+    with pytest.raises(WALUnknownFormatError):
+        w.replay(lambda h, b: None)
+    # file bytes untouched
+    assert path.read_bytes() == legacy
+    w.close()
+
+
+def test_wal_mid_segment_corruption_truncates_and_counts(tmp_path):
+    table = _table()
+    w = FileWAL(str(tmp_path))
+    for tx in (1, 2, 3):
+        w.log_record(tx, "t", _make_batch(table))
+    w.close()
+    seg = os.path.join(str(tmp_path), sorted(os.listdir(str(tmp_path)))[0])
+    data = open(seg, "rb").read()
+    # corrupt the magic of the 3rd frame: find frame boundaries by replaying
+    w = FileWAL(str(tmp_path))
+    offsets = []
+    pos = [0]
+
+    def h(hdr, body):
+        offsets.append(pos[0])
+
+    w.replay(h, from_tx=0, repair=False)
+    # recompute frame offsets from sizes
+    from frostdb_tpu.wal import _CRC, _PREFIX
+
+    off, bounds = 0, []
+    while off < len(data):
+        _m, _k, tlen, blen, bl, _tx = _PREFIX.unpack_from(data, off)
+        bounds.append(off)
+        off += _PREFIX.size + _CRC.size + tlen + blen + bl
+    assert len(bounds) == 3
+    corrupted = bytearray(data)
+    corrupted[bounds[2]] = 0x00  # bad magic mid-segment
+    open(seg, "wb").write(bytes(corrupted))
+
+    w2 = FileWAL(str(tmp_path))
+    seen = []
+    w2.replay(lambda h, b: seen.append(h["tx"]), from_tx=0)
+    assert seen == [1, 2]
+    assert w2.repairs == 1 and w2.repairs_lost_records == 1
+    assert os.path.getsize(seg) == bounds[2]  # tail truncated
+    w2.close()
+
+
+def test_wal_unknown_kind_crc_valid_is_skipped(tmp_path):
+    """A CRC-valid frame with an unrecognized kind code (newer writer) is
+    skipped; later frames still replay and nothing is truncated."""
+    import struct
+    import zlib
+
+    from frostdb_tpu.wal import _CRC, _PREFIX, _MAGIC
+
+    table = _table()
+    w = FileWAL(str(tmp_path))
+    w.log_record(1, "t", _make_batch(table))
+    w.close()
+    seg = os.path.join(str(tmp_path), sorted(os.listdir(str(tmp_path)))[0])
+    # append an unknown-kind frame then a valid snapshot frame
+    body = b"future-entry"
+    prefix = _PREFIX.pack(_MAGIC, 99, 0, 0, len(body), 2)
+    crc = zlib.crc32(prefix + body) & 0xFFFFFFFF
+    with open(seg, "ab") as f:
+        f.write(prefix + _CRC.pack(crc) + body)
+    w2 = FileWAL(str(tmp_path))
+    w2.log_snapshot(3)
+    size_before = os.path.getsize(seg)
+    seen = []
+    w2.replay(lambda h, b: seen.append((h["tx"], h["kind"])), from_tx=0)
+    assert [tx for tx, _ in seen] == [1, 3]
+    assert w2.repairs == 0 and w2.repairs_lost_records == 0
+    assert os.path.getsize(seg) == size_before
+    w2.close()
+
+
+def test_wal_replay_no_repair_leaves_tail(tmp_path):
+    table = _table()
+    w = FileWAL(str(tmp_path))
+    w.log_record(1, "t", _make_batch(table))
+    w.close()
+    seg = os.path.join(str(tmp_path), sorted(os.listdir(str(tmp_path)))[0])
+    with open(seg, "ab") as f:
+        f.write(b"\xf5torn-partial-frame")
+    size = os.path.getsize(seg)
+    w2 = FileWAL(str(tmp_path))
+    seen = []
+    w2.replay(lambda h, b: seen.append(h["tx"]), from_tx=0, repair=False)
+    assert seen == [1]
+    assert os.path.getsize(seg) == size  # untouched in read-only mode
+    w2.close()
+
+
 def test_wal_reset(tmp_path):
     table = _table()
     w = FileWAL(str(tmp_path))
