@@ -16,8 +16,14 @@ when the planner can PROVE the fast pattern:
   just add the bias back),
 - the filter is a single comparison on a numeric column (fused into the
   kernel) or absent,
-- no null group keys and no external data sources (those fall back to the
-  generic engine, which handles null-key groups and source scans).
+- no null group keys (those fall back to the generic engine, which emits
+  the null-key group).
+
+Persisted blocks (bucket/iceberg sources) participate through the table's
+source-part cache (table.source_parts): each block is read once, split at
+row-group granularity, and cached as immutable device-resident parts — so
+the fast path survives block rotation (the reference's bucket block
+cache/dedup, store.go:123,143).
 
 The engine integrates this automatically: ``lower_plan`` pattern-matches an
 optimized logical plan and ``LocalQueryBuilder.execute`` falls back to the
@@ -111,9 +117,6 @@ class CompiledFilterAggregate:
         self.group_col = group_col
         self.filter = filter
         self.on_tpu = jax.default_backend() == "tpu"
-
-        if table.db is not None and getattr(table.db, "sources", None):
-            raise NotCompilable("table reads from external data sources")
 
         schema = table.schema()
         gdef = schema.column_by_name(group_col)
@@ -379,7 +382,15 @@ class CompiledFilterAggregate:
             if self.table.db is not None
             else 2**63
         )
-        parts = self.table.collect_parts(tx)
+        from .table import SourceWithoutBlockAPI
+
+        try:
+            # Persisted blocks participate as cached device-resident parts
+            # (uploaded once; store.go:123's cache/dedup) — the fast path
+            # stays on after block rotation.
+            parts = self.table.collect_parts(tx, include_sources=True)
+        except SourceWithoutBlockAPI:
+            raise NotCompilable("a data source lacks the block API")
         num_codes = max(len(self.dictionary), 1)
         num_digits, bias = self._check_parts(parts)
 

@@ -492,6 +492,44 @@ class IcebergCatalog:
                 )
         return out
 
+    def list_blocks(self, db: str, table: str) -> list[tuple[str, str]]:
+        """(block_id, data-file path) pairs for the current snapshot — the
+        block-granular source API the table layer caches device-resident
+        parts against (see store.py list_blocks)."""
+        tdir = self._table_dir(db, table)
+        meta = self._metadata(tdir)
+        if meta is None:
+            return []
+        snap = self._current_snapshot(meta)
+        if snap is None:
+            return []
+        out: list[tuple[str, str]] = []
+        _m, manifests = avro.read_container(
+            open(snap["manifest-list"], "rb").read()
+        )
+        for mf in manifests:
+            _me, entries = avro.read_container(
+                open(mf["manifest_path"], "rb").read()
+            )
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                path = e["data_file"]["file_path"]
+                if not os.path.exists(path):
+                    continue
+                block_id = os.path.splitext(os.path.basename(path))[0]
+                out.append((block_id, path))
+        return sorted(out)
+
+    def read_block_parts(self, ref: str, schema: Schema, get_dictionary):
+        """One ColumnBatch per row group of one data file."""
+        f = pq.ParquetFile(ref)
+        out = []
+        for g in range(f.metadata.num_row_groups):
+            t = f.read_row_group(g)
+            out.append(ColumnBatch.from_arrow(t, get_dictionary=get_dictionary))
+        return out
+
     @staticmethod
     def _entry_cannot_match(
         data_file: dict, filter: Optional[E.Expr], field_types, field_names

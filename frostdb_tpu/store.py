@@ -64,6 +64,41 @@ class FileSystemBucket:
             return []
         return sorted(os.listdir(p))
 
+    # -- block-granular source API (reference: store.go:123 the bucket block
+    # cache/dedup — blocks are listed per query but each block's bytes are
+    # read ONCE and cached as device-resident parts by the table layer) ----
+
+    def list_blocks(self, db: str, table: str) -> list[tuple[str, str]]:
+        """(block_id, opaque ref) pairs for every persisted block."""
+        out = []
+        for block_id in self.blocks(db, table):
+            path = self.block_path(db, table, block_id)
+            if os.path.exists(path):
+                out.append((block_id, path))
+        return out
+
+    def read_block_parts(self, ref: str, schema: Schema, get_dictionary):
+        """One ColumnBatch per row group (row-group granularity keeps the
+        per-part zone-map pruning as fine as the reference's row-group
+        statistics pruning, store.go:243)."""
+        f = pq.ParquetFile(ref)
+        out = []
+        for g in range(f.metadata.num_row_groups):
+            t = f.read_row_group(g)
+            out.append(ColumnBatch.from_arrow(t, get_dictionary=get_dictionary))
+        return out
+
+    def block_schema(self, ref: str) -> Optional[Schema]:
+        """Schema persisted in the block's parquet metadata (the read-only
+        table discovery hook, db.go:494-508)."""
+        from .schema import SchemaDef
+
+        meta = pq.ParquetFile(ref).schema_arrow.metadata or {}
+        raw = meta.get(b"frostdb_tpu.schema")
+        if raw is None:
+            return None
+        return Schema(SchemaDef.from_dict(json.loads(raw.decode())))
+
     def scan(
         self,
         db: str,

@@ -22,6 +22,17 @@ from .lsm import LSM, LevelConfig, Part, prune_part
 from .schema import Schema, SchemaDef, is_dynamic_name, split_dynamic
 
 
+class SourceWithoutBlockAPI(Exception):
+    """A data source does not expose list_blocks/read_block_parts; callers
+    needing part-level access (compiled/mesh serving) fall back to the
+    generic streaming path."""
+
+
+class ReadOnlyTableError(Exception):
+    """Writes to a table discovered read-only from a bucket (db.go:180
+    WithReadOnlyStorage) are rejected."""
+
+
 @dataclass
 class TableConfig:
     """reference: table.go:78 TableConfig (persisted protobuf in WAL
@@ -152,6 +163,14 @@ class Table:
         self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=0)
         self.pending_blocks: list[TableBlock] = []
         self.metrics = None
+        # Persisted blocks read from sources, cached as immutable parts so
+        # repeat queries never touch the bucket and the compiled serving
+        # path stays device-resident across block rotation (the reference
+        # dedups/caches bucket blocks per query, store.go:123,143).
+        self._source_parts: dict[tuple[int, str], list[Part]] = {}
+        # Tables discovered read-only from a bucket (db.go:494) have no
+        # write path; inserts are rejected.
+        self.read_only = False
 
     # ------------------------------------------------------------------
 
@@ -186,6 +205,8 @@ class Table:
         The caller is expected to provide rows sorted by the schema's sorting
         columns (like the reference, where dynparquet.Buffer.Sort happens in
         the ingestion helpers); pass sort=True to sort here."""
+        if self.read_only:
+            raise ReadOnlyTableError(self.name)
         if isinstance(record, (pa.RecordBatch, pa.Table)):
             batch = ColumnBatch.from_arrow(record, get_dictionary=self.dictionary)
         else:
@@ -288,11 +309,55 @@ class Table:
         tx = self.db.high_watermark() if self.db is not None else 2**63
         fn(tx)
 
-    def collect_parts(self, tx: int) -> list[Part]:
+    def collect_parts(self, tx: int, include_sources: bool = False) -> list[Part]:
         parts = list(self.active_block.index.scan(tx))
         for blk in self.pending_blocks:
             parts.extend(blk.index.scan(tx))
+        if include_sources:
+            sp = self.source_parts()
+            if sp is None:
+                raise SourceWithoutBlockAPI(
+                    "a data source lacks the block-granular API"
+                )
+            parts.extend(sp)
         return parts
+
+    def source_parts(self) -> Optional[list[Part]]:
+        """Persisted blocks from every source as cached immutable parts,
+        one part per row group, in (source, block id) listing order.
+        Returns None when a source lacks the block API (callers fall back
+        to the streaming ``scan`` path). Blocks whose ids match in-memory
+        blocks are skipped — the ULID dedup of store.go:123."""
+        if self.db is None or not self.db.sources:
+            return []
+        exclude = {self.active_block.id} | {b.id for b in self.pending_blocks}
+        out: list[Part] = []
+        live_keys: set[tuple[int, str]] = set()
+        final_level = DEFAULT_LEVELS[-1].level
+        for si, source in enumerate(self.db.sources):
+            list_blocks = getattr(source, "list_blocks", None)
+            read_parts = getattr(source, "read_block_parts", None)
+            if list_blocks is None or read_parts is None:
+                return None
+            for block_id, ref in list_blocks(self.db.name, self.name):
+                if block_id in exclude:
+                    continue
+                key = (si, block_id)
+                live_keys.add(key)
+                parts = self._source_parts.get(key)
+                if parts is None:
+                    batches = read_parts(ref, self._schema, self.dictionary)
+                    parts = [
+                        Part(b, tx=0, compaction_level=final_level)
+                        for b in batches
+                    ]
+                    self._source_parts[key] = parts
+                out.extend(parts)
+        # Evict blocks no longer listed (deleted/expired upstream).
+        for key in list(self._source_parts):
+            if key not in live_keys:
+                del self._source_parts[key]
+        return out
 
     def iterator(
         self,
@@ -307,8 +372,11 @@ class Table:
         All batches go down lane 0 for deterministic stream order (see
         query/physical.py module docstring)."""
         parts = self.collect_parts(tx)
+        sp = self.source_parts() if self.db is not None else []
         source_batches = []
-        if self.db is not None:
+        if sp is None:
+            # A source without the block-granular API: stream through its
+            # scan() (filter pruning happens source-side).
             for source in self.db.sources:
                 source_batches.extend(
                     source.scan(
@@ -320,6 +388,8 @@ class Table:
                         exclude_block_ids={b.id for b in [self.active_block] + self.pending_blocks},
                     )
                 )
+        else:
+            parts = parts + sp
         cb = callbacks[0]
         for part in parts:
             if filter is not None and prune_part(part, filter):
@@ -393,7 +463,11 @@ class Table:
         "name" column (reference: table.go:872 SchemaIterator)."""
         cb = callbacks[0]
         d = Dictionary()
-        for part in self.collect_parts(tx):
+        parts = self.collect_parts(tx)
+        sp = self.source_parts() if self.db is not None else []
+        if sp is not None:
+            parts = parts + sp
+        for part in parts:
             names = part.batch.column_names()
             codes, valid = d.encode(names)
             col = Column("name", KIND_DICT, codes, valid, d)
