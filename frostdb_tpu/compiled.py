@@ -469,7 +469,6 @@ class CompiledFilterAggregate:
             ranks = self.dictionary.sort_ranks()
             order_arr = order_arr[np.argsort(ranks[order_arr], kind="stable")]
 
-        n = len(order_arr)
         src_by_func = {
             E.AGG_SUM: sums_np,
             E.AGG_COUNT: counts_np,
@@ -479,58 +478,80 @@ class CompiledFilterAggregate:
         by_name = {
             spec.result_name: src_by_func[spec.func] for spec in self.aggs
         }
+        return emit_output(
+            self.group_col,
+            self.dictionary,
+            order_arr,
+            [spec.result_name for spec in self.aggs],
+            by_name,
+            self.output_projection,
+        )
 
-        def group_column():
-            return Column(
-                self.group_col,
-                KIND_DICT,
-                order_arr.astype(np.int32),
-                np.ones(n, dtype=bool),
-                self.dictionary,
-            )
 
-        def agg_column(out_name, src):
-            return Column(
-                out_name,
-                KIND_INT64,
-                src[order_arr] if n else src[:0],
-                np.ones(n, dtype=bool),
-            )
+def emit_output(
+    group_col: str,
+    dictionary,
+    order_arr: np.ndarray,
+    result_names: Sequence[str],
+    by_name: dict,
+    output_projection,
+) -> ColumnBatch:
+    """Materialize the output batch from dense [K] host partials + the group
+    emission order — shared by the compiled and mesh executors so both emit
+    byte-identical batches."""
+    n = len(order_arr)
 
-        if self.output_projection is None:
-            cols = [group_column()]
-            for spec in self.aggs:
-                cols.append(agg_column(spec.result_name, by_name[spec.result_name]))
-            return ColumnBatch(cols, n)
+    def group_column():
+        return Column(
+            group_col,
+            KIND_DICT,
+            order_arr.astype(np.int32),
+            np.ones(n, dtype=bool),
+            dictionary,
+        )
 
-        # Post-aggregation projection (the avg rewrite): evaluated on the
-        # [K]-sized host partials; the generic engine's Projection dedups
-        # output names first-wins, mirror that.
-        cols = []
-        seen: set[str] = set()
-        for item in self.output_projection:
-            if item[0] == "group":
-                col = group_column()
-            elif item[0] == "col":
-                _, out_name, src_name = item
-                col = agg_column(out_name, by_name[src_name])
-            else:  # ("div", out, sum_name, count_name)
-                _, out_name, s_name, c_name = item
-                s = by_name[s_name][order_arr] if n else by_name[s_name][:0]
-                c = by_name[c_name][order_arr] if n else by_name[c_name][:0]
-                # Go-style truncation toward zero; division by zero emits
-                # null — exactly ops/kernels.arith's integer "/" semantics.
-                valid = c != 0
-                safe_c = np.where(valid, c, 1)
-                q = s // safe_c
-                r = s - q * safe_c
-                q = q + ((s < 0) != (safe_c < 0)) * (r != 0)
-                col = Column(out_name, KIND_INT64, q, valid)
-            if col.name in seen:
-                continue
-            seen.add(col.name)
-            cols.append(col)
+    def agg_column(out_name, src):
+        return Column(
+            out_name,
+            KIND_INT64,
+            src[order_arr] if n else src[:0],
+            np.ones(n, dtype=bool),
+        )
+
+    if output_projection is None:
+        cols = [group_column()]
+        for name in result_names:
+            cols.append(agg_column(name, by_name[name]))
         return ColumnBatch(cols, n)
+
+    # Post-aggregation projection (the avg rewrite): evaluated on the
+    # [K]-sized host partials; the generic engine's Projection dedups
+    # output names first-wins, mirror that.
+    cols = []
+    seen: set[str] = set()
+    for item in output_projection:
+        if item[0] == "group":
+            col = group_column()
+        elif item[0] == "col":
+            _, out_name, src_name = item
+            col = agg_column(out_name, by_name[src_name])
+        else:  # ("div", out, sum_name, count_name)
+            _, out_name, s_name, c_name = item
+            s = by_name[s_name][order_arr] if n else by_name[s_name][:0]
+            c = by_name[c_name][order_arr] if n else by_name[c_name][:0]
+            # Go-style truncation toward zero; division by zero emits
+            # null — exactly ops/kernels.arith's integer "/" semantics.
+            valid = c != 0
+            safe_c = np.where(valid, c, 1)
+            q = s // safe_c
+            r = s - q * safe_c
+            q = q + ((s < 0) != (safe_c < 0)) * (r != 0)
+            col = Column(out_name, KIND_INT64, q, valid)
+        if col.name in seen:
+            continue
+        seen.add(col.name)
+        cols.append(col)
+    return ColumnBatch(cols, n)
 
 
 def compile_filter_aggregate(table, group_col, aggs, filter=None):
@@ -545,10 +566,37 @@ def compile_filter_aggregate(table, group_col, aggs, filter=None):
 _COMPARE_FILTER_OPS = ("<", "<=", ">", ">=", "==", "!=")
 
 
+@dataclass
+class FastPlanSpec:
+    """A plan matched onto the fused filter+group-aggregate shape — shared
+    by the single-chip compiled path (CompiledFilterAggregate) and the
+    distributed mesh path (parallel/mesh_exec.MeshFilterAggregate)."""
+
+    table: object
+    group_col: str
+    aggs: list  # (func, column, result_name)
+    filter: Optional[tuple]  # (col, op, int literal) | None
+    output_projection: Optional[list]
+    ordered: bool
+
+
 def lower_plan(plan, exec_options=None) -> CompiledFilterAggregate:
     """Pattern-match an *optimized* logical plan onto the compiled fast
     path. The engine calls this before building the generic operator DAG
-    and falls back on ``NotCompilable``.
+    and falls back on ``NotCompilable``."""
+    s = match_plan(plan, exec_options)
+    return CompiledFilterAggregate(
+        s.table,
+        s.group_col,
+        s.aggs,
+        s.filter,
+        s.output_projection,
+        ordered=s.ordered,
+    )
+
+
+def match_plan(plan, exec_options=None) -> FastPlanSpec:
+    """Match an *optimized* logical plan onto the fused fast shape.
 
     Matched shape: TableScan <- [Filter(col cmp int-literal)] <- Aggregation
     <- [Projection] where the optional projection is the avg rewrite's
@@ -667,6 +715,6 @@ def lower_plan(plan, exec_options=None) -> CompiledFilterAggregate:
 
         ordered = _should_plan_ordered(exec_options, True, agg_node)
 
-    return CompiledFilterAggregate(
-        table, group_col, aggs, filter_spec, output_projection, ordered=ordered
+    return FastPlanSpec(
+        table, group_col, aggs, filter_spec, output_projection, ordered
     )

@@ -84,6 +84,26 @@ class LocalQueryBuilder:
     def execute(self, callback: Callable[[ColumnBatch], None]) -> None:
         plan = self._optimized_plan()
         if (
+            self.engine.exec_options.mesh is not None
+            and self.engine.exec_options.allocator is None
+        ):
+            # Distributed serving: the same query lowered as one SPMD
+            # program over the mesh (parallel/mesh_exec.py). Results are
+            # byte-identical to the single-stream engine on any device
+            # count; NotCompilable falls through to the local paths.
+            from ..compiled import NotCompilable
+            from ..parallel.mesh_exec import lower_plan_mesh
+
+            try:
+                out = lower_plan_mesh(
+                    plan, self.engine.exec_options
+                ).execute()
+                if out.num_rows > 0:
+                    callback(out)
+                return
+            except NotCompilable:
+                pass
+        if (
             self.engine.exec_options.compiled_serving
             and self.engine.exec_options.allocator is None
         ):

@@ -826,6 +826,8 @@ class ExecOptions:
         ordered_aggregations: bool = False,
         allocator=None,
         compiled_serving: bool = True,
+        mesh=None,
+        mesh_axis: str = "shards",
     ):
         self.concurrency = concurrency
         self.ordered_aggregations = ordered_aggregations
@@ -836,6 +838,11 @@ class ExecOptions:
         # kernels when the pattern is provable (compiled.lower_plan); the
         # generic operator DAG is the fallback and the semantic oracle.
         self.compiled_serving = compiled_serving
+        # jax.sharding.Mesh: distribute matching queries across devices
+        # (parallel/mesh_exec.py); results stay byte-identical to the
+        # single-stream engine on any device count.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
 
 def _should_plan_ordered(opts: ExecOptions, ordering_ok: bool, node) -> bool:
