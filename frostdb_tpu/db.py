@@ -69,6 +69,9 @@ class DB:
         self.snapshot_trigger_size = snapshot_trigger_size
         self.snapshot_dir = snapshot_dir
         self._snapshot_inserts = 0
+        # Highest txn covered by a durable snapshot (written this process or
+        # loaded at recovery). Feeds maintain_wal's truncation watermark.
+        self.last_snapshot_tx = 0
 
     # -- transactions (reference: db.go:1229 begin/beginRead) ------------
 
@@ -132,11 +135,29 @@ class DB:
             self._snapshot_inserts = size
 
     def maintain_wal(self) -> None:
-        """Truncate the WAL below the persisted watermark (reference:
-        db.go:1015 maintainWAL)."""
+        """Truncate the WAL live below the durable watermark (reference:
+        db.go:1015-1051 maintainWAL).
+
+        A WAL entry at tx T may be dropped once EVERY table's data at T is
+        durable elsewhere: either the table's blocks containing T were
+        persisted to a sink (tracked per table as ``persisted_tx``) or a
+        snapshot at >= T covers the whole DB. The truncation point is
+        therefore min over tables of max(table.persisted_tx,
+        last_snapshot_tx); segment granularity means only whole segments
+        strictly below it are removed."""
         if self.wal is None:
             return
-        # Conservative: only truncate on explicit snapshot for now.
+        if self.tables:
+            durable = min(
+                max(t.persisted_tx, self.last_snapshot_tx)
+                for t in self.tables.values()
+            )
+        else:
+            durable = self.last_snapshot_tx
+        if durable > 0:
+            self.wal.truncate(durable + 1)
+            if self.store is not None and self.store.metrics is not None:
+                self.store.metrics.wal_truncations.inc()
 
     def close(self) -> None:
         if self.wal is not None:
@@ -164,9 +185,11 @@ class ColumnStore:
         sources=(),
         sinks=(),
         metrics=None,
+        wal_segment_size: Optional[int] = None,
     ):
         self.storage_path = storage_path
         self.enable_wal = enable_wal
+        self.wal_segment_size = wal_segment_size
         self.snapshot_trigger_size = snapshot_trigger_size
         self.sources = list(sources)
         self.sinks = list(sinks)
@@ -196,9 +219,12 @@ class ColumnStore:
             os.makedirs(path, exist_ok=True)
             snapshot_dir = os.path.join(path, "snapshots")
         if self.enable_wal and path is not None:
-            from .wal import FileWAL
+            from .wal import FileWAL, SEGMENT_MAX_BYTES
 
-            wal = FileWAL(os.path.join(path, "wal"))
+            wal = FileWAL(
+                os.path.join(path, "wal"),
+                segment_size=self.wal_segment_size or SEGMENT_MAX_BYTES,
+            )
 
         d = DB(
             self,
@@ -215,7 +241,38 @@ class ColumnStore:
             from .recovery import recover_db
 
             recover_db(d, path)
+        self._discover_readonly_tables(d)
         return d
+
+    def _discover_readonly_tables(self, d: DB) -> None:
+        """Register tables that exist only in object storage as queryable
+        read-only tables (reference: db.go:494-508 — table prefixes listed
+        from the DataSource, schemas recovered from block metadata;
+        WithReadOnlyStorage db.go:180). Any table already created locally
+        (or recovered from WAL/snapshot) keeps its writable runtime."""
+        from .table import Table, TableConfig
+
+        for source in d.sources:
+            prefixes = getattr(source, "prefixes", None)
+            list_blocks = getattr(source, "list_blocks", None)
+            block_schema = getattr(source, "block_schema", None)
+            if prefixes is None or list_blocks is None or block_schema is None:
+                continue
+            for name in prefixes(d.name):
+                if name in d.tables:
+                    continue
+                schema = None
+                for _block_id, ref in list_blocks(d.name, name):
+                    schema = block_schema(ref)
+                    if schema is not None:
+                        break
+                if schema is None:
+                    continue
+                t = Table(d, name, TableConfig(schema=schema.def_))
+                t.read_only = True
+                if self.metrics is not None:
+                    t.metrics = self.metrics.table_metrics(d.name, name)
+                d.tables[name] = t
 
     def close(self) -> None:
         for d in self.dbs.values():

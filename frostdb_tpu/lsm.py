@@ -34,6 +34,7 @@ class Part:
         self._device: Optional[DeviceBatch] = None
         self._zone_map: Optional[dict] = None
         self._raw_ranges: dict = {}
+        self._code_presence: dict = {}
 
     def num_rows(self) -> int:
         return self.batch.num_rows
@@ -65,6 +66,21 @@ class Part:
             r = (int(c.values.min()), int(c.values.max()))
         self._raw_ranges[name] = r
         return r
+
+    def code_presence(self, name: str):
+        """Set of dictionary codes present among a dict column's valid slots
+        — the in-memory analogue of the reference's parquet dictionary/bloom
+        pruning (query/expr/binaryscalarexpr.go:104: bloom filter first,
+        then min/max). Cached: parts are immutable. Returns None for
+        non-dict/absent columns."""
+        if name in self._code_presence:
+            return self._code_presence[name]
+        c = self.batch.column(name)
+        pres = None
+        if c is not None and c.kind == KIND_DICT:
+            pres = np.unique(c.values[c.validity])
+        self._code_presence[name] = pres
+        return pres
 
     def zone_map(self) -> dict:
         """Per-column min/max for scan pruning (the reference prunes row
@@ -188,16 +204,108 @@ class LSM:
             return sum(len(l) for l in self.levels)
 
 
-def prune_part(part: Part, filter_expr) -> bool:
+def _dict_match_lut(dictionary, op: str, lit, memo: Optional[dict]) -> Optional[np.ndarray]:
+    """Boolean LUT over a table-global dictionary's values: which values can
+    satisfy ``value <op> lit``. Memoized per query (the dictionary is shared
+    across all of a table's parts, so one evaluation serves every part — the
+    reference evaluates string predicates once per parquet dictionary page,
+    binaryscalarexpr.go:104 dictionary path). Returns None when the op
+    cannot be reduced to a per-value test."""
+    import re as _re
+
+    from .query import expr as E
+
+    key = (id(dictionary), op, lit)
+    if memo is not None and key in memo:
+        lut = memo[key]
+        if lut is None or len(lut) >= len(dictionary):
+            return lut
+    vals = dictionary.values
+    if op == E.OP_EQ:
+        lut = np.fromiter((v == lit for v in vals), dtype=np.bool_, count=len(vals))
+    elif op == E.OP_REGEX_MATCH or op == E.OP_REGEX_NOT_MATCH:
+        rx = _re.compile(str(lit))
+        lut = np.fromiter(
+            (rx.search(v) is not None for v in vals), dtype=np.bool_, count=len(vals)
+        )
+        if op == E.OP_REGEX_NOT_MATCH:
+            lut = ~lut
+    elif op == E.OP_CONTAINS:
+        s = str(lit)
+        lut = np.fromiter((s in v for v in vals), dtype=np.bool_, count=len(vals))
+    elif op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
+        s = str(lit)
+        cmp = {
+            E.OP_LT: lambda v: v < s,
+            E.OP_LT_EQ: lambda v: v <= s,
+            E.OP_GT: lambda v: v > s,
+            E.OP_GT_EQ: lambda v: v >= s,
+        }[op]
+        lut = np.fromiter((cmp(v) for v in vals), dtype=np.bool_, count=len(vals))
+    else:
+        lut = None
+    if memo is not None:
+        memo[key] = lut
+    return lut
+
+
+def prune_part(part: Part, filter_expr, memo: Optional[dict] = None) -> bool:
     """True if the part can definitely not contain matching rows — the
     TrueNegativeFilter contract (reference: query/expr/filter.go:38: false
-    negatives are forbidden, false positives are fine)."""
+    negatives are forbidden, false positives are fine). Numeric columns
+    prune on zone maps; dict/string columns prune on per-part code-presence
+    sets against a memoized dictionary-value LUT (the reference's parquet
+    bloom-filter + dictionary pruning, binaryscalarexpr.go:104-110). Pass a
+    per-query ``memo`` dict to share LUTs across parts."""
+    import re as _re
+
     from .query import expr as E
 
     if filter_expr is None:
         return False
 
     zm = part.zone_map()
+
+    def dict_cannot_match(e) -> bool:
+        name = e.left.column_name
+        lit = e.right.value
+        col = part.batch.column(name)
+        if col is None:
+            # Missing dynamic column = all-null. Mirror physeval's
+            # missing-column semantics (binaryscalarexpr.go:47-72,
+            # regexpfilter.go:23-33): prune only where those yield an
+            # all-false mask.
+            if e.op == E.OP_EQ:
+                return lit is not None and isinstance(lit, str) and lit != ""
+            if e.op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
+                try:
+                    empty_match = _re.compile(str(lit or "")).search("") is not None
+                except _re.error:
+                    return False
+                return (e.op == E.OP_REGEX_MATCH) != empty_match
+            if e.op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
+                return True
+            return False
+        if col.kind != KIND_DICT or lit is None or not isinstance(lit, str):
+            return False
+        presence = part.code_presence(name)
+        if presence is None:
+            return False
+        if e.op == E.OP_EQ:
+            code = col.dictionary.lookup(lit)
+            if code is None:
+                return True
+            return not np.isin(code, presence).item()
+        try:
+            lut = _dict_match_lut(col.dictionary, e.op, lit, memo)
+        except _re.error:
+            return False
+        if lut is None or len(lut) == 0:
+            return False
+        pres = presence[presence < len(lut)]
+        if len(pres) < len(presence):
+            return False  # codes beyond the cached LUT: can't prove negative
+        return not lut[pres].any()
 
     def cannot_match(e) -> bool:
         if isinstance(e, E.BinaryExpr):
@@ -208,7 +316,13 @@ def prune_part(part: Part, filter_expr) -> bool:
             if isinstance(e.left, (E.Column,)) and isinstance(e.right, E.Literal):
                 name = e.left.column_name
                 lit = e.right.value
-                if name not in zm or lit is None or isinstance(lit, str):
+                if isinstance(lit, str) or e.op in (
+                    E.OP_REGEX_MATCH,
+                    E.OP_REGEX_NOT_MATCH,
+                    E.OP_CONTAINS,
+                ):
+                    return dict_cannot_match(e)
+                if name not in zm or lit is None:
                     return False
                 lo, hi = zm[name]
                 try:

@@ -40,12 +40,35 @@ class TableMetrics:
     zero_rows_inserted: Counter
     rotations: Counter
     active_block_size: Gauge
+    # Scan-pruning effectiveness (the reference counts row groups skipped by
+    # TrueNegativeFilter via tracing; here explicit counters).
+    parts_scanned: Counter
+    parts_pruned: Counter
 
 
 class MetricsRegistry:
     def __init__(self):
         self._metrics: dict[str, Counter] = {}
         self._lock = threading.Lock()
+        # Store-wide durability metrics (reference: metrics.go:140-300 — WAL
+        # record/truncation/repair counters, snapshot counters, LSM
+        # compactions per level).
+        self.wal_records_logged = self.counter(
+            "frostdb_tpu_wal_records_logged_total"
+        )
+        self.wal_truncations = self.counter(
+            "frostdb_tpu_wal_truncations_total"
+        )
+        self.wal_repairs = self.counter("frostdb_tpu_wal_repairs_total")
+        self.snapshots_total = self.counter("frostdb_tpu_snapshots_total")
+        self.snapshot_bytes = self.counter(
+            "frostdb_tpu_snapshot_bytes_written_total"
+        )
+
+    def lsm_compactions(self, level: int) -> Counter:
+        return self.counter(
+            f'frostdb_tpu_lsm_compactions_total{{level="{level}"}}'
+        )
 
     def counter(self, name: str, help_: str = "") -> Counter:
         with self._lock:
@@ -70,6 +93,8 @@ class MetricsRegistry:
             zero_rows_inserted=self.counter(f"zero_rows_inserted_{p}"),
             rotations=self.counter(f"rotations_{p}"),
             active_block_size=self.gauge(f"active_block_size_{p}"),
+            parts_scanned=self.counter(f"parts_scanned_{p}"),
+            parts_pruned=self.counter(f"parts_pruned_{p}"),
         )
 
     def expose(self) -> str:

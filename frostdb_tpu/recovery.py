@@ -28,6 +28,7 @@ def recover_db(db, path: str) -> None:
     snapshot_tx = 0
     if db.snapshot_dir is not None:
         snapshot_tx = load_snapshot(db, db.snapshot_dir)
+        db.last_snapshot_tx = snapshot_tx
 
     if db.wal is None:
         if snapshot_tx:

@@ -91,6 +91,14 @@ def write_snapshot(db, directory: str) -> int:
     if db.wal is not None:
         db.wal.log_snapshot(tx)
     cleanup_old_snapshots(directory, keep_tx=tx)
+    db.last_snapshot_tx = max(db.last_snapshot_tx, tx)
+    if db.store is not None and db.store.metrics is not None:
+        db.store.metrics.snapshots_total.inc()
+        db.store.metrics.snapshot_bytes.inc(os.path.getsize(path))
+    # Everything at or below tx is durable in the snapshot: reclaim WAL
+    # segments live (the reference truncates after snapshot-on-rotation,
+    # table.go:513 + db.go:1015).
+    db.maintain_wal()
     return tx
 
 

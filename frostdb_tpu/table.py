@@ -171,6 +171,10 @@ class Table:
         # Tables discovered read-only from a bucket (db.go:494) have no
         # write path; inserts are rejected.
         self.read_only = False
+        # Highest txn whose writes are all persisted to a sink (bumped on
+        # block rotation once the old block is uploaded). Feeds
+        # DB.maintain_wal's live truncation (db.go:1015 minTXPersisted).
+        self.persisted_tx = 0
 
     # ------------------------------------------------------------------
 
@@ -232,6 +236,9 @@ class Table:
             self.db.maybe_snapshot(self)
         if self.metrics is not None:
             self.metrics.rows_inserted.inc(batch.num_rows)
+            if batch.num_rows == 0:
+                self.metrics.zero_rows_inserted.inc()
+            self.metrics.active_block_size.set(self.active_block.size())
 
         if self.active_block.size() >= self.config.active_memory_size:
             self.rotate_block()
@@ -262,10 +269,21 @@ class Table:
                 self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
             self.db.commit(ptx)
             old.delete_index_files()
+            # Every write below the new block's first txn now lives in a
+            # persisted block (rotation is synchronous here), so the WAL can
+            # reclaim those entries (db.go:1015 maintainWAL) — and rotation
+            # triggers a snapshot like table.go:513 writeBlock.
+            self.persisted_tx = max(self.persisted_tx, self.active_block.min_tx - 1)
+            if self.db.snapshot_trigger_size and self.db.snapshot_dir is not None:
+                from .snapshot import write_snapshot
+
+                write_snapshot(self.db, self.db.snapshot_dir)
             self.db.maintain_wal()
         else:
             # No sink: keep the block readable in memory.
             self.pending_blocks.append(old)
+        if self.metrics is not None:
+            self.metrics.rotations.inc()
 
     # ------------------------------------------------------------------
     # Compaction (reference: table.go:1267 compactParts)
@@ -391,9 +409,14 @@ class Table:
         else:
             parts = parts + sp
         cb = callbacks[0]
+        prune_memo: dict = {}
         for part in parts:
-            if filter is not None and prune_part(part, filter):
+            if filter is not None and prune_part(part, filter, prune_memo):
+                if self.metrics is not None:
+                    self.metrics.parts_pruned.inc()
                 continue
+            if self.metrics is not None:
+                self.metrics.parts_scanned.inc()
             batch = part.batch
             if filter is None and distinct_columns:
                 opt = self._distinct_scan_batch(batch, distinct_columns)

@@ -77,15 +77,23 @@ def ipc_to_arrow(data: bytes) -> pa.RecordBatch:
 
 
 class FileWAL:
-    def __init__(self, directory: str, sync: bool = True):
+    def __init__(
+        self,
+        directory: str,
+        sync: bool = True,
+        segment_size: int = SEGMENT_MAX_BYTES,
+    ):
         """sync=True: every entry is fsync'd before the call returns.
         sync=False: entries enqueue to a background batcher thread that
         drains them in tx order and fsyncs once per batch — the reference's
         async process loop (wal/wal.go:360 pops a tx-ordered heap and
-        batches into the segment store)."""
+        batches into the segment store). ``segment_size`` bounds a segment
+        file; truncation is segment-granular, so smaller segments reclaim
+        sooner (the reference's segment store works the same way)."""
         self.dir = directory
         os.makedirs(directory, exist_ok=True)
         self.sync = sync
+        self.segment_size = segment_size
         self._lock = threading.Lock()
         self._file: Optional[io.BufferedWriter] = None
         self._segment_start_tx = 0
@@ -116,7 +124,7 @@ class FileWAL:
                     for tx, frame in batch:
                         if (
                             self._file is None
-                            or self._segment_size > SEGMENT_MAX_BYTES
+                            or self._segment_size > self.segment_size
                         ):
                             self._open_segment(tx)
                         self._file.write(frame)
@@ -172,7 +180,7 @@ class FileWAL:
                 self._cv.notify_all()
             return
         with self._lock:
-            if self._file is None or self._segment_size > SEGMENT_MAX_BYTES:
+            if self._file is None or self._segment_size > self.segment_size:
                 self._open_segment(tx)
             self._file.write(frame)
             self._segment_size += len(frame)

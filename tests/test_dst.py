@@ -36,11 +36,26 @@ WEIGHTS = {
 
 def _open(path, bucket):
     store = ColumnStore(
-        storage_path=path, enable_wal=True, sources=[bucket], sinks=[bucket]
+        storage_path=path,
+        enable_wal=True,
+        sources=[bucket],
+        sinks=[bucket],
+        # Small segments so live WAL maintenance (segment-granular
+        # truncation) is actually exercised within the run.
+        wal_segment_size=32 * 1024,
     )
     db = store.db("dst")
     table = db.table("t", TableConfig(schema=sample_definition()))
     return store, db, table
+
+
+def _wal_bytes(path):
+    wal_dir = os.path.join(path, "databases", "dst", "wal")
+    if not os.path.isdir(wal_dir):
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(wal_dir, f)) for f in os.listdir(wal_dir)
+    )
 
 
 def _insert(table, rng, next_ts):
@@ -96,8 +111,11 @@ def test_dst(tmp_path, seed):
 
     next_ts = 0
     written = 0
+    max_wal = 0
+    truncs = 0.0
     for _i in range(N_COMMANDS):
         cmd = rng.choice(cmds, p=probs)
+        max_wal = max(max_wal, _wal_bytes(path))
         if cmd == "insert":
             n = _insert(table, rng, next_ts)
             next_ts += n
@@ -111,8 +129,21 @@ def test_dst(tmp_path, seed):
         elif cmd == "rotate":
             table.rotate_block()
         elif cmd == "restart":
+            truncs += store.metrics.wal_truncations.value()
             store.close()
             store, db, table = _open(path, bucket)
+
+    # Live WAL maintenance (db.maintain_wal on snapshot/rotation) must keep
+    # the WAL bounded: without truncation this run accumulates well over
+    # 1 MiB of IPC-framed writes; the bound is a few segments of tail plus
+    # the largest burst between durable points.
+    truncs += db.store.metrics.wal_truncations.value()
+    assert truncs > 0
+    assert max_wal < 512 * 1024, f"WAL grew unbounded: peak {max_wal} bytes"
+    write_snapshot(db, db.snapshot_dir)
+    assert _wal_bytes(path) <= 3 * 32 * 1024, (
+        f"post-snapshot WAL not reclaimed: {_wal_bytes(path)} bytes"
+    )
 
     # final restart then verify every timestamp survived exactly once
     store.close()

@@ -155,3 +155,34 @@ def test_source_parts_evict_deleted_blocks(tmp_path):
     got = _run(db, compiled=False)
     assert sorted(got) == [("b", 10), ("c", 20)]
     assert not table._source_parts
+
+
+def test_read_only_bucket_table_discovery(tmp_path):
+    """Write blocks with one store; a FRESH store over the same bucket (no
+    create calls) discovers the table from block parquet metadata and serves
+    queries read-only (reference: db.go:494-508 read-only tables,
+    WithReadOnlyStorage db.go:180)."""
+    store, db, table = _setup(tmp_path)
+    table.rotate_block()  # persist the second batch too
+    expected = _run(db, compiled=False)
+
+    bucket2 = FileSystemBucket(str(tmp_path / "bucket"))
+    store2 = ColumnStore(sources=[bucket2])
+    db2 = store2.db("test")
+    t2 = db2.get_table("t")
+    assert t2 is not None and t2.read_only
+    assert sorted(_run(db2, compiled=False)) == sorted(expected)
+    # Compiled serving works over the discovered (device-cached) parts too.
+    assert sorted(_run(db2, compiled=True)) == sorted(expected)
+
+    from frostdb_tpu.table import ReadOnlyTableError
+
+    with pytest.raises(ReadOnlyTableError):
+        t2.insert_record(_batch(t2, ["z"], [1]))
+
+    # An explicit db.table() call on an existing read-only name returns the
+    # discovered table rather than shadowing it with an empty writable one.
+    from frostdb_tpu.schema import sample_definition as _sd
+    from frostdb_tpu.table import TableConfig as _TC
+
+    assert db2.table("t", _TC(schema=_sd())) is t2
