@@ -8,12 +8,16 @@ when the planner can PROVE the fast pattern:
 
 - group keys are table-global dictionary codes with a combined code space
   <= 2048 (the kernel lane-tiles one accumulator tile per 128 codes),
-- aggregations are sum/count/min/max of an int column whose raw-value
-  *span* (max - min over all visible parts) fits 32 bits — negative and
-  large-magnitude columns (e.g. nanosecond timestamps) are shifted by the
-  global minimum on device and reconstructed exactly as
-  ``kernel_sum + bias * count`` (the shift is order-preserving, so min/max
-  just add the bias back),
+- aggregations are sum/count/min/max over any number of value columns;
+  int64 columns are shifted by the global raw minimum on device and
+  reconstructed exactly as ``kernel_sum + bias * count`` (the shift is
+  order-preserving, so min/max just add the bias back). Shifted spans up
+  to 59 bits split into two int32 digit planes (lo 28 bits / hi 31 bits)
+  summed by two kernel passes — nanosecond-timestamp sums stay on the
+  fast path. float64 columns ride the integer path when every visible
+  value is integral and the cumulative magnitude bound stays within
+  2^53 (both the float and integer sums are then exact and equal),
+- min/max additionally require the shifted span to fit one int32 plane,
 - the filter is a single comparison on a numeric column (fused into the
   kernel) or absent,
 - no null group keys (those fall back to the generic engine, which emits
@@ -68,9 +72,29 @@ class NotCompilable(Exception):
 
 @dataclass
 class _AggSpec:
-    func: str  # "sum" | "count"
+    func: str  # "sum" | "count" | "min" | "max"
     column: str
     result_name: str
+
+
+@dataclass
+class _ValuePlan:
+    """Per-value-column kernel plan computed from part metadata."""
+
+    column: str
+    bias: int = 0
+    num_digits: int = 2  # digits for the single-plane case / the lo plane
+    wide: bool = False  # two int32 planes: lo 28 bits, hi = span >> 28
+    hi_digits: int = 0
+    is_float: bool = False  # integral float64 riding the int path
+    need_sum: bool = False
+    need_minmax: bool = False
+
+
+# lo-plane width for wide (two-plane) sums: 28 bits = 4 base-128 digits.
+_LO_BITS = 28
+_LO_MASK = (1 << _LO_BITS) - 1
+_EXACT_F64 = 1 << 53
 
 
 def _digits_for(max_value: int) -> int:
@@ -131,22 +155,27 @@ class CompiledFilterAggregate:
             raise NotCompilable("code space > 2048 (dense one-hot limit)")
 
         self.aggs = []
-        self.value_col: Optional[str] = None
-        self.need_minmax = False
+        # Distinct value columns in first-use order; each gets its own
+        # kernel plan (digits/bias/planes) in _check_parts.
+        self.value_plans: dict[str, _ValuePlan] = {}
         for spec in aggs:
             func, col = spec[0], spec[1]
             result_name = spec[2] if len(spec) > 2 else f"{func}({col})"
             if func not in (E.AGG_SUM, E.AGG_COUNT, E.AGG_MIN, E.AGG_MAX):
                 raise NotCompilable(f"agg {func} not in compiled set")
-            if func in (E.AGG_MIN, E.AGG_MAX):
-                self.need_minmax = True
             if func != E.AGG_COUNT:
-                if self.value_col is not None and self.value_col != col:
-                    raise NotCompilable("one value column per compiled query")
                 vdef = schema.column_by_name(col)
-                if vdef is not None and vdef.layout.type != "int64":
-                    raise NotCompilable("compiled aggs are int columns")
-                self.value_col = col
+                if vdef is not None and vdef.layout.type not in (
+                    "int64",
+                    "double",
+                ):
+                    raise NotCompilable("compiled aggs are int/float columns")
+                plan = self.value_plans.setdefault(col, _ValuePlan(col))
+                plan.is_float = vdef is not None and vdef.layout.type == "double"
+                if func == E.AGG_SUM:
+                    plan.need_sum = True
+                else:
+                    plan.need_minmax = True
             self.aggs.append(_AggSpec(func, col, result_name))
         if self.filter is not None:
             fcol, fop, lit = self.filter
@@ -160,19 +189,24 @@ class CompiledFilterAggregate:
 
     # ------------------------------------------------------------------
 
-    def _check_parts(self, parts) -> tuple[int, int]:
-        """Host-metadata validation over the visible parts; returns
-        ``(num_digits, bias)`` for the summed column. All checks read cached
+    def _check_parts(self, parts) -> None:
+        """Host-metadata validation over the visible parts; fills in each
+        value plan's ``(digits, bias, planes)``. All checks read cached
         per-part ranges / validity flags, never full columns per query.
 
         ``bias`` is the global raw minimum: the kernel sums ``v - bias``
         (always non-negative, often far fewer base-128 digits — e.g.
         nanosecond timestamps) and the exact sum is reconstructed as
-        ``kernel_sum + bias * count``. This admits negative and
-        large-magnitude int64 columns as long as the *span* fits 32 bits."""
-        num_digits = 2
-        vmin: Optional[int] = None
-        vmax: Optional[int] = None
+        ``kernel_sum + bias * count``. Shifted spans past one int32 plane
+        split into a 28-bit lo plane and a hi plane (two kernel passes,
+        ``sum = lo + (hi << 28) + bias*count``), admitting spans up to 59
+        bits. float64 columns ride the same path when every visible value
+        is integral and the cumulative magnitude bound keeps both the
+        float64 and int64 sums exact (< 2^53)."""
+        ranges: dict[str, tuple[Optional[int], Optional[int]]] = {
+            c: (None, None) for c in self.value_plans
+        }
+        float_bound = 0
         for p in parts:
             g = p.batch.column(self.group_col)
             if g is None:
@@ -181,23 +215,30 @@ class CompiledFilterAggregate:
                 # The generic engine emits a null-key group for these rows
                 # (kernels.group_ids keys on validity); fall back.
                 raise NotCompilable("null group keys (generic engine path)")
-            if self.value_col is not None:
-                c = p.batch.column(self.value_col)
+            for plan in self.value_plans.values():
+                c = p.batch.column(plan.column)
                 if c is None:
-                    raise NotCompilable(f"part lacks {self.value_col}")
-                if c.kind != KIND_INT64:
-                    raise NotCompilable("compiled sums are int columns")
-                r = p.raw_range(self.value_col)
+                    raise NotCompilable(f"part lacks {plan.column}")
+                if c.kind == KIND_INT64:
+                    if plan.is_float:
+                        raise NotCompilable("mixed int/float value column")
+                elif c.kind == "float64":
+                    plan.is_float = True
+                    if not p.float_integral(plan.column):
+                        raise NotCompilable("non-integral float values")
+                else:
+                    raise NotCompilable("compiled aggs are int/float columns")
+                r = p.raw_range(plan.column)
                 if r is not None:
                     # Raw buffer bounds: null slots participate in sums
                     # exactly like the reference's raw-buffer sum
                     # (aggregate.go:763), so they bound the digits too.
+                    vmin, vmax = ranges[plan.column]
                     vmin = r[0] if vmin is None else min(vmin, r[0])
                     vmax = r[1] if vmax is None else max(vmax, r[1])
-            else:
-                # counts-only queries still need every part to carry the
-                # counted rows; nothing to bound.
-                pass
+                    ranges[plan.column] = (vmin, vmax)
+                    if plan.is_float:
+                        float_bound += p.num_rows() * max(abs(r[0]), abs(r[1]))
             if self.filter is not None:
                 fcol = self.filter[0]
                 f = p.batch.column(fcol)
@@ -208,34 +249,44 @@ class CompiledFilterAggregate:
                     _INT32_MIN <= r[0] and r[1] <= _INT32_MAX
                 ):
                     raise NotCompilable("filter column outside int32 range")
-        bias = 0
-        if self.value_col is not None and vmin is not None:
-            span = vmax - vmin
-            if span > _INT32_MAX:
-                raise NotCompilable("value span exceeds 32 bits")
+        if float_bound >= _EXACT_F64:
+            # Past this bound a float64 sum can round while the int64 sum
+            # stays exact — the paths could disagree; use the generic engine.
+            raise NotCompilable("float sum magnitude bound exceeds 2^53")
+        for plan in self.value_plans.values():
+            vmin, vmax = ranges[plan.column]
+            plan.bias = 0
+            plan.wide = False
+            plan.num_digits = 2
+            if vmin is None:
+                continue
             # Bias only when needed (negative values, or values past the
             # kernel's int32 input range); zero-bias keeps sums independent
             # of counts for columns that are already small non-negative ints.
             if vmin < 0 or vmax > _INT32_MAX:
-                bias = vmin
-            num_digits = _digits_for(max(vmax - bias, 1))
-        return num_digits, bias
+                plan.bias = vmin
+            span = vmax - plan.bias
+            if span > _INT32_MAX:
+                if plan.need_minmax:
+                    # min/max kernels compare one int32 plane; a two-plane
+                    # lexicographic min/max is not worth the complexity.
+                    raise NotCompilable("min/max over >32-bit span")
+                if span >> _LO_BITS > _INT32_MAX:
+                    raise NotCompilable("value span exceeds 59 bits")
+                plan.wide = True
+                plan.num_digits = _digits_for(_LO_MASK)
+                plan.hi_digits = _digits_for(max(span >> _LO_BITS, 1))
+            else:
+                plan.num_digits = _digits_for(max(span, 1))
 
-    def _part_arrays(self, part, bias: int = 0):
-        """Device arrays for one part in kernel layout, via the part's
-        cached device batch. Rows pad to the kernel's superblock. The summed
-        column is shifted by ``-bias`` (sums reconstructed downstream as
-        ``kernel_sum + bias * count``)."""
+    def _pad2d(self, dev):
+        """[N] -> [slabs, 128] padding closure for one part's device batch
+        (rows pad to the kernel's superblock)."""
         import jax.numpy as jnp
 
         from .ops.pallas_agg import ROWS_PER_SUPER
 
-        dev = part.device()
-        g = dev.column(self.group_col)
-        if g is None:
-            raise NotCompilable(f"part lacks {self.group_col}")
-        n_pad = dev.n_pad
-        target = -(-n_pad // ROWS_PER_SUPER) * ROWS_PER_SUPER
+        target = -(-dev.n_pad // ROWS_PER_SUPER) * ROWS_PER_SUPER
 
         def pad2d(a, fill=0):
             if a.shape[0] < target:
@@ -244,18 +295,20 @@ class CompiledFilterAggregate:
                 )
             return a.reshape(target // 128, 128)
 
+        return pad2d
+
+    def _codes_sel(self, part):
+        """Device (codes, sel) planes for one part in kernel layout, via the
+        part's cached device batch."""
+        import jax.numpy as jnp
+
+        dev = part.device()
+        g = dev.column(self.group_col)
+        if g is None:
+            raise NotCompilable(f"part lacks {self.group_col}")
+        pad2d = self._pad2d(dev)
         codes = pad2d(g.data.astype(jnp.int32))
         gvalid = pad2d(g.validity.astype(jnp.int32))
-        if self.value_col is not None:
-            v = dev.column(self.value_col)
-            if v is None:
-                raise NotCompilable(f"part lacks {self.value_col}")
-            vdata = v.data
-            if bias:
-                vdata = vdata - jnp.asarray(bias, vdata.dtype)
-            vals = pad2d(vdata.astype(jnp.int32))
-        else:
-            vals = pad2d(jnp.zeros((n_pad,), jnp.int32))
         row_valid = pad2d(dev.row_valid_mask().astype(jnp.int32))
         sel = row_valid * gvalid
         if self.filter is not None:
@@ -274,7 +327,30 @@ class CompiledFilterAggregate:
                 "!=": fv != lit,
             }[fop]
             sel = sel * cmp.astype(jnp.int32) * fvalid
-        return codes, vals, sel
+        return codes, sel
+
+    def _value_planes(self, part, plan: _ValuePlan):
+        """Shifted int32 value plane(s) for one value column: ``[lo]`` for
+        single-plane columns, ``[lo, hi]`` for wide (two-plane) sums. The
+        shift and split run on device over the part's cached upload."""
+        import jax.numpy as jnp
+
+        dev = part.device()
+        v = dev.column(plan.column)
+        if v is None:
+            raise NotCompilable(f"part lacks {plan.column}")
+        pad2d = self._pad2d(dev)
+        vdata = v.data
+        if plan.is_float:
+            vdata = vdata.astype(jnp.int64)
+        if plan.bias:
+            vdata = vdata - jnp.asarray(plan.bias, vdata.dtype)
+        if not plan.wide:
+            return [pad2d(vdata.astype(jnp.int32))]
+        shifted = vdata.astype(jnp.int64)
+        lo = jnp.bitwise_and(shifted, jnp.int64(_LO_MASK)).astype(jnp.int32)
+        hi = (shifted >> _LO_BITS).astype(jnp.int32)
+        return [pad2d(lo), pad2d(hi)]
 
     # ------------------------------------------------------------------
     # First-occurrence emission order
@@ -392,50 +468,93 @@ class CompiledFilterAggregate:
         except SourceWithoutBlockAPI:
             raise NotCompilable("a data source lacks the block API")
         num_codes = max(len(self.dictionary), 1)
-        num_digits, bias = self._check_parts(parts)
+        self._check_parts(parts)
+        plans = list(self.value_plans.values())
 
-        sums = jnp.zeros((num_codes,), jnp.int64)
         counts = jnp.zeros((num_codes,), jnp.int64)
-        mins = jnp.full((num_codes,), _INT32_MAX, jnp.int32)
-        maxs = jnp.full((num_codes,), _INT32_MIN, jnp.int32)
+        # Per-column device partials: sums[col] is [planes][K] (lo, hi).
+        sums = {
+            p.column: [jnp.zeros((num_codes,), jnp.int64)]
+            + ([jnp.zeros((num_codes,), jnp.int64)] if p.wide else [])
+            for p in plans
+        }
+        mins = {
+            p.column: jnp.full((num_codes,), _INT32_MAX, jnp.int32)
+            for p in plans
+            if p.need_minmax
+        }
+        maxs = {
+            p.column: jnp.full((num_codes,), _INT32_MIN, jnp.int32)
+            for p in plans
+            if p.need_minmax
+        }
         per_part_counts = []
         per_part_first = []
         for p in parts:
-            codes, vals, sel = self._part_arrays(p, bias)
-            if self.on_tpu:
-                s, c, first = pallas_group_sum_count(
-                    codes, vals, sel, num_codes, num_digits
-                )
-                if self.need_minmax:
+            codes, sel = self._codes_sel(p)
+            flat_codes = codes.reshape(-1)
+            flat_sel = sel.reshape(-1) > 0
+            planes_by_col = {
+                plan.column: self._value_planes(p, plan) for plan in plans
+            }
+            # One fused kernel pass per value plane; the FIRST pass also
+            # yields the counts and first-occurrence partials (a zero value
+            # plane when the query is counts-only) — the single-value-column
+            # query keeps its single pass per part.
+            passes: list[tuple[Optional[str], int, object, int]] = []
+            for plan in plans:
+                if plan.need_sum:
+                    for pi, vals in enumerate(planes_by_col[plan.column]):
+                        digits = plan.hi_digits if pi else plan.num_digits
+                        passes.append((plan.column, pi, vals, digits))
+            if not passes:
+                passes.append((None, 0, jnp.zeros_like(codes), 1))
+            for idx, (col, pi, vals, digits) in enumerate(passes):
+                if self.on_tpu:
+                    s, c, first = pallas_group_sum_count(
+                        codes, vals, sel, num_codes, digits
+                    )
+                else:
+                    s, c = filter_group_scatter(
+                        flat_codes, vals.reshape(-1), flat_sel, num_codes
+                    )
+                    first = (
+                        first_selected_row(flat_codes, flat_sel, num_codes)
+                        if idx == 0
+                        else None
+                    )
+                if idx == 0:
+                    counts = counts + c
+                    per_part_counts.append(c)
+                    per_part_first.append(first)
+                if col is not None:
+                    sums[col][pi] = sums[col][pi] + s
+            for plan in plans:
+                if not plan.need_minmax:
+                    continue
+                (vals,) = planes_by_col[plan.column]
+                if self.on_tpu:
                     mn, mx = pallas_group_min_max(codes, vals, sel, num_codes)
-            else:
-                flat_codes = codes.reshape(-1)
-                flat_sel = sel.reshape(-1) > 0
-                s, c = filter_group_scatter(
-                    flat_codes, vals.reshape(-1), flat_sel, num_codes
-                )
-                first = first_selected_row(flat_codes, flat_sel, num_codes)
-                if self.need_minmax:
+                else:
                     mn, mx = group_min_max_scatter(
                         flat_codes, vals.reshape(-1), flat_sel, num_codes
                     )
-            sums = sums + s
-            counts = counts + c
-            if self.need_minmax:
-                mins = jnp.minimum(mins, mn)
-                maxs = jnp.maximum(maxs, mx)
-            per_part_counts.append(c)
-            per_part_first.append(first)
+                mins[plan.column] = jnp.minimum(mins[plan.column], mn)
+                maxs[plan.column] = jnp.maximum(maxs[plan.column], mx)
 
         # ONE device->host fetch for the whole query: every [K]-sized result
         # (and the per-part order partials) concatenates into a single int64
         # blob sliced on the host. Each fetch is a full sync (a ~25 ms RTT
-        # through the axon tunnel); four separate fetches would quadruple
-        # serving latency.
+        # through the axon tunnel); separate fetches would multiply serving
+        # latency.
         P = len(parts)
-        blob_parts = [sums, counts]
-        if self.need_minmax:
-            blob_parts += [mins.astype(jnp.int64), maxs.astype(jnp.int64)]
+        blob_parts = [counts]
+        for plan in plans:
+            if plan.need_sum:
+                blob_parts.extend(sums[plan.column])
+            if plan.need_minmax:
+                blob_parts.append(mins[plan.column].astype(jnp.int64))
+                blob_parts.append(maxs[plan.column].astype(jnp.int64))
         if P:
             blob_parts.append(jnp.stack(per_part_counts).ravel())
             blob_parts.append(
@@ -443,17 +562,34 @@ class CompiledFilterAggregate:
             )
         blob = np.asarray(jnp.concatenate(blob_parts))
         off = 0
-        sums_np = blob[off : off + num_codes]; off += num_codes
         counts_np = blob[off : off + num_codes]; off += num_codes
-        if bias:
-            # Exact reconstruction of the unbiased sums (see _check_parts).
-            sums_np = sums_np + bias * counts_np
-        mins_np = maxs_np = None
-        if self.need_minmax:
-            # Sentinels only survive for codes with no selected rows, which
-            # are never emitted; the bias shift is order-preserving.
-            mins_np = blob[off : off + num_codes] + bias; off += num_codes
-            maxs_np = blob[off : off + num_codes] + bias; off += num_codes
+        sums_np: dict[str, np.ndarray] = {}
+        mins_np: dict[str, np.ndarray] = {}
+        maxs_np: dict[str, np.ndarray] = {}
+        for plan in plans:
+            if plan.need_sum:
+                s = blob[off : off + num_codes]; off += num_codes
+                if plan.wide:
+                    hi = blob[off : off + num_codes]; off += num_codes
+                    s = s + (hi << _LO_BITS)
+                if plan.bias:
+                    # Exact reconstruction of the unbiased sums
+                    # (see _check_parts).
+                    s = s + plan.bias * counts_np
+                sums_np[plan.column] = (
+                    s.astype(np.float64) if plan.is_float else s
+                )
+            if plan.need_minmax:
+                # Sentinels only survive for codes with no selected rows,
+                # which are never emitted; the bias shift is
+                # order-preserving.
+                mn = blob[off : off + num_codes] + plan.bias; off += num_codes
+                mx = blob[off : off + num_codes] + plan.bias; off += num_codes
+                if plan.is_float:
+                    mn = mn.astype(np.float64)
+                    mx = mx.astype(np.float64)
+                mins_np[plan.column] = mn
+                maxs_np[plan.column] = mx
         if P:
             part_counts = blob[off : off + P * num_codes].reshape(P, num_codes)
             off += P * num_codes
@@ -469,15 +605,16 @@ class CompiledFilterAggregate:
             ranks = self.dictionary.sort_ranks()
             order_arr = order_arr[np.argsort(ranks[order_arr], kind="stable")]
 
-        src_by_func = {
-            E.AGG_SUM: sums_np,
-            E.AGG_COUNT: counts_np,
-            E.AGG_MIN: mins_np,
-            E.AGG_MAX: maxs_np,
-        }
-        by_name = {
-            spec.result_name: src_by_func[spec.func] for spec in self.aggs
-        }
+        by_name = {}
+        for spec in self.aggs:
+            if spec.func == E.AGG_COUNT:
+                by_name[spec.result_name] = counts_np
+            elif spec.func == E.AGG_SUM:
+                by_name[spec.result_name] = sums_np[spec.column]
+            elif spec.func == E.AGG_MIN:
+                by_name[spec.result_name] = mins_np[spec.column]
+            else:
+                by_name[spec.result_name] = maxs_np[spec.column]
         return emit_output(
             self.group_col,
             self.dictionary,
@@ -511,9 +648,12 @@ def emit_output(
         )
 
     def agg_column(out_name, src):
+        kind = (
+            "float64" if np.issubdtype(src.dtype, np.floating) else KIND_INT64
+        )
         return Column(
             out_name,
-            KIND_INT64,
+            kind,
             src[order_arr] if n else src[:0],
             np.ones(n, dtype=bool),
         )

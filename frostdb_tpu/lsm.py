@@ -67,6 +67,26 @@ class Part:
         self._raw_ranges[name] = r
         return r
 
+    def float_integral(self, name: str) -> bool:
+        """True when every raw slot of a float64 column holds an integral
+        value with |v| <= 2^53 (null slots are zero-filled and integral) —
+        the gate for the compiled path's exact integer-mantissa float sums.
+        Cached: parts are immutable."""
+        key = ("float_integral", name)
+        if key in self._raw_ranges:
+            return self._raw_ranges[key]
+        c = self.batch.column(name)
+        ok = False
+        if c is not None and np.issubdtype(c.values.dtype, np.floating):
+            v = c.values
+            ok = bool(
+                np.all(np.isfinite(v))
+                and np.all(np.abs(v) <= 2.0**53)
+                and np.all(v == np.floor(v))
+            )
+        self._raw_ranges[key] = ok
+        return ok
+
     def code_presence(self, name: str):
         """Set of dictionary codes present among a dict column's valid slots
         — the in-memory analogue of the reference's parquet dictionary/bloom

@@ -786,19 +786,62 @@ class ReservoirSampler(PhysicalOperator):
         self._next_i = size + int(
             np.floor(np.log(self._rng.random()) / np.log(1 - self._w))
         ) + 1
+        self.materializations = 0
+
+    @staticmethod
+    def _batch_bytes(b: ColumnBatch) -> int:
+        return sum(c.values.nbytes + c.validity.nbytes for c in b.columns)
+
+    def _pinned_bytes(self) -> int:
+        seen: dict[int, int] = {}
+        for b, _i in self._rows:
+            seen[id(b)] = self._batch_bytes(b)
+        return sum(seen.values())
+
+    def _maybe_materialize(self) -> None:
+        """Copy the reservoir's rows into one owned batch when the input
+        batches pinned by row references exceed the byte budget (reference:
+        sampler.go:18-289 materializes at sampleBufferSize for exactly this
+        reason — a reservoir of row refs can pin the entire scanned stream
+        alive)."""
+        if not self.byte_limit or self._pinned_bytes() <= self.byte_limit:
+            return
+        by_batch: dict[int, tuple[ColumnBatch, list[tuple[int, int]]]] = {}
+        for slot, (b, i) in enumerate(self._rows):
+            by_batch.setdefault(id(b), (b, []))[1].append((i, slot))
+        takes = []
+        slot_order: list[int] = []
+        for b, pairs in by_batch.values():
+            idxs = np.asarray([i for i, _s in pairs], dtype=np.int64)
+            takes.append(b.take(idxs))
+            slot_order.extend(s for _i, s in pairs)
+        merged = unify_concat(takes)
+        # Restore reservoir slot order so future replacements behave
+        # identically to the un-materialized run.
+        inv = np.empty(len(slot_order), dtype=np.int64)
+        inv[np.asarray(slot_order, dtype=np.int64)] = np.arange(
+            len(slot_order), dtype=np.int64
+        )
+        self._rows = [(merged, int(j)) for j in inv]
+        self.materializations += 1
 
     def callback(self, batch: ColumnBatch) -> None:
+        touched = False
         for i in range(batch.num_rows):
             self._n_seen += 1
             if len(self._rows) < self.size:
                 self._rows.append((batch, i))
+                touched = True
             elif self._n_seen == self._next_i:
                 j = self._rng.integers(0, self.size)
                 self._rows[j] = (batch, i)
+                touched = True
                 self._w *= np.exp(np.log(self._rng.random()) / self.size)
                 self._next_i += (
                     int(np.floor(np.log(self._rng.random()) / np.log(1 - self._w))) + 1
                 )
+        if touched:
+            self._maybe_materialize()
 
     def finish(self) -> None:
         by_batch: dict[int, tuple[ColumnBatch, list[int]]] = {}

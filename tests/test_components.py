@@ -292,3 +292,51 @@ def test_unique_primary_index_compaction():
     assert _query_sum(db, "t") == 66  # before compaction both visible
     table.active_block.index.compact_level(0)
     assert _query_sum(db, "t") == 60  # newest rows (10+20+30) survive
+
+
+def test_reservoir_sampler_byte_budget():
+    """A tiny byte budget forces materialization: the reservoir must copy
+    sampled rows instead of pinning every scanned batch (reference:
+    sampler.go:18-289), while the sample itself is identical to the
+    unbounded-budget run (same seed, same stream)."""
+    from frostdb_tpu.query.physical import ReservoirSampler
+    from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_INT64
+
+    def run(byte_limit):
+        s = ReservoirSampler(size=8, byte_limit=byte_limit, seed=7)
+        sink = []
+
+        class Sink:
+            def callback(self, b):
+                sink.append(b)
+
+            def finish(self):
+                pass
+
+        s.set_next(Sink())
+        for lo in range(0, 4000, 100):
+            n = 100
+            batch = ColumnBatch(
+                [
+                    Column(
+                        "x",
+                        KIND_INT64,
+                        np.arange(lo, lo + n, dtype=np.int64),
+                        np.ones(n, dtype=bool),
+                    )
+                ],
+                n,
+            )
+            s.callback(batch)
+        pinned = s._pinned_bytes()
+        s.finish()
+        vals = sorted(int(v) for b in sink for v in b.column("x").values)
+        return s, pinned, vals
+
+    s_small, pinned_small, vals_small = run(4096)
+    s_big, pinned_big, vals_big = run(1 << 30)
+    assert vals_small == vals_big  # storage policy must not change the sample
+    assert s_small.materializations > 0
+    assert s_big.materializations == 0
+    assert pinned_small <= 4096
+    assert pinned_big > 4096  # refs pin whole input batches without a budget
