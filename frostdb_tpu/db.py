@@ -186,10 +186,15 @@ class ColumnStore:
         sinks=(),
         metrics=None,
         wal_segment_size: Optional[int] = None,
+        wal_sync: bool = True,
     ):
         self.storage_path = storage_path
         self.enable_wal = enable_wal
         self.wal_segment_size = wal_segment_size
+        # sync=False runs the WAL's async tx-ordered batcher (the
+        # reference's default, wal/wal.go:360): acknowledged writes may be
+        # lost on a hard crash until the batcher's next fsync.
+        self.wal_sync = wal_sync
         self.snapshot_trigger_size = snapshot_trigger_size
         self.sources = list(sources)
         self.sinks = list(sinks)
@@ -223,6 +228,7 @@ class ColumnStore:
 
             wal = FileWAL(
                 os.path.join(path, "wal"),
+                sync=self.wal_sync,
                 segment_size=self.wal_segment_size or SEGMENT_MAX_BYTES,
             )
 

@@ -103,6 +103,7 @@ class FileWAL:
         self._queue: list[tuple[int, bytes]] = []
         self._cv = threading.Condition()
         self._closing = False
+        self._killed = False
         self._thread: Optional[threading.Thread] = None
         if not sync:
             self._thread = threading.Thread(
@@ -115,6 +116,8 @@ class FileWAL:
             with self._cv:
                 while not self._queue and not self._closing:
                     self._cv.wait()
+                if self._killed:
+                    return
                 batch = self._queue
                 self._queue = []
                 closing = self._closing
@@ -340,6 +343,48 @@ class FileWAL:
                 self._file = None
             for seg in self._segments():
                 os.remove(os.path.join(self.dir, seg))
+
+    def hard_kill(self, partial_writes: int = 0, tear_bytes: int = 0) -> list[int]:
+        """Simulate a process crash (testing support, the analogue of the
+        reference DST's vfs hard-shutdown, dst/vfs/fs.go:24): the async
+        batcher stops WITHOUT draining; ``partial_writes`` queued frames are
+        written to the segment but never fsync'd, and the final
+        ``tear_bytes`` bytes are chopped off (a torn in-flight write). No
+        close-time flush happens. Returns the txns whose entries were queued
+        but not durably flushed — the legitimately-lossable set the verifier
+        accounts for (dst_test.go:217 testLogStore)."""
+        with self._cv:
+            self._killed = True
+            self._closing = True
+            dropped = list(self._queue)
+            self._queue = []
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+        lost = [tx for tx, _f in dropped]
+        with self._lock:
+            dropped.sort(key=lambda e: e[0])
+            unsynced = 0
+            for tx, frame in dropped[: max(partial_writes, 0)]:
+                if self._file is None or self._segment_size > self.segment_size:
+                    self._open_segment(tx)
+                    unsynced = 0  # segment roll fsyncs the previous file
+                self._file.write(frame)
+                self._segment_size += len(frame)
+                unsynced += len(frame)
+            if self._file is not None:
+                self._file.flush()  # OS buffer, NO fsync — like a real crash
+                path = self._file.name
+                self._file.close()
+                self._file = None
+                # A crash can only tear bytes that were never fsync'd.
+                tear = min(max(tear_bytes, 0), unsynced)
+                if tear > 0:
+                    size = os.path.getsize(path)
+                    with open(path, "r+b") as f:
+                        f.truncate(max(size - tear, 0))
+        return lost
 
     def close(self) -> None:
         if self._thread is not None:

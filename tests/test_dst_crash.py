@@ -1,0 +1,167 @@
+"""Crash-injection DST (reference: dst/vfs/fs.go:24 hard-shutdown EIO +
+dst_test.go:217 testLogStore loss accounting).
+
+The WAL runs in async-batcher mode (the reference's default): acknowledged
+inserts whose entries are still queued at a hard kill are *legitimately*
+lossable. A kill stops the batcher without draining, writes a random prefix
+of the queued frames without fsync, tears a random number of in-flight
+bytes off the segment tail, and sometimes drops a corrupt higher-tx
+snapshot file (a non-atomic snapshot write at crash time — the
+newest-valid-snapshot fallback must skip it).
+
+Invariant after every interleaving: rows NOT in the lossable set survive
+exactly once; lossable rows appear at most once; nothing is duplicated.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
+from frostdb_tpu.db import ColumnStore
+from frostdb_tpu.query import expr as E
+from frostdb_tpu.query.engine import LocalEngine
+from frostdb_tpu.schema import sample_definition
+from frostdb_tpu.snapshot import snapshot_path, write_snapshot
+from frostdb_tpu.store import FileSystemBucket
+from frostdb_tpu.table import TableConfig
+
+N_COMMANDS = 300
+WEIGHTS = {
+    "insert": 0.70,
+    "compact": 0.20,
+    "compact_l1": 0.08,
+    "snapshot": 0.10,
+    "rotate": 0.05,
+    "kill": 0.08,
+    "restart": 0.02,
+}
+
+
+def _open(path, bucket):
+    store = ColumnStore(
+        storage_path=path,
+        enable_wal=True,
+        sources=[bucket],
+        sinks=[bucket],
+        wal_segment_size=32 * 1024,
+        wal_sync=False,  # async batcher: hard kills can lose queued entries
+    )
+    db = store.db("dstc")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    return store, db, table
+
+
+def _insert(table, rng, next_ts):
+    n = int(rng.integers(1, 20))
+    d_et = table.dictionary("example_type")
+    d_l = table.dictionary("labels")
+    d_st = table.dictionary("stacktrace")
+    et, etv = d_et.encode(["cpu"] * n)
+    lv, lvv = d_l.encode([f"l{int(rng.integers(0, 5))}" for _ in range(n)])
+    st, stv = d_st.encode(["s"] * n)
+    ts = np.arange(next_ts, next_ts + n, dtype=np.int64)
+    batch = ColumnBatch(
+        [
+            Column("example_type", KIND_DICT, et, etv, d_et),
+            Column("labels.label1", KIND_DICT, lv, lvv, d_l),
+            Column("stacktrace", KIND_DICT, st, stv, d_st),
+            Column("timestamp", KIND_INT64, ts, np.ones(n, dtype=bool)),
+            Column(
+                "value",
+                KIND_INT64,
+                rng.integers(0, 100, n).astype(np.int64),
+                np.ones(n, dtype=bool),
+            ),
+        ],
+        n,
+    )
+    tx = table.insert_record(batch, sort=True)
+    return tx, list(range(next_ts, next_ts + n))
+
+
+def _read_timestamps(db):
+    engine = LocalEngine(db.table_provider())
+    out = []
+    engine.scan_table("t").project(E.Col("timestamp")).execute(out.append)
+    ts = []
+    for b in out:
+        c = b.column("timestamp")
+        if c is not None:
+            ts.extend(int(v) for v in c.values[c.validity])
+    return sorted(ts)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 8, 13, 21])
+def test_dst_crash(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path / "db")
+    bucket = FileSystemBucket(str(tmp_path / "bucket"))
+    store, db, table = _open(path, bucket)
+
+    cmds = list(WEIGHTS)
+    probs = np.array([WEIGHTS[c] for c in cmds])
+    probs = probs / probs.sum()
+
+    next_ts = 0
+    rows_by_tx: dict[int, list[int]] = {}
+    may_be_lost: set[int] = set()
+    kills = 0
+    for _i in range(N_COMMANDS):
+        cmd = rng.choice(cmds, p=probs)
+        if cmd == "insert":
+            tx, rows = _insert(table, rng, next_ts)
+            rows_by_tx[tx] = rows
+            next_ts += len(rows)
+        elif cmd == "compact":
+            table.active_block.index.compact_level(0)
+        elif cmd == "compact_l1":
+            table.active_block.index.compact_level(1)
+        elif cmd == "snapshot":
+            write_snapshot(db, db.snapshot_dir)
+        elif cmd == "rotate":
+            table.rotate_block()
+        elif cmd == "restart":
+            store.close()
+            store, db, table = _open(path, bucket)
+        elif cmd == "kill":
+            kills += 1
+            lost_txns = db.wal.hard_kill(
+                partial_writes=int(rng.integers(0, 6)),
+                tear_bytes=int(rng.integers(0, 300)),
+            )
+            for tx in lost_txns:
+                may_be_lost.update(rows_by_tx.get(tx, ()))
+            if rng.random() < 0.3 and db.snapshot_dir is not None:
+                # A snapshot write in flight at crash time on a non-atomic
+                # filesystem: a corrupt higher-tx snapshot file appears.
+                os.makedirs(db.snapshot_dir, exist_ok=True)
+                bogus = snapshot_path(
+                    db.snapshot_dir, db.high_watermark() + 1
+                )
+                with open(bogus, "wb") as f:
+                    f.write(b"FDBT" + bytes(rng.integers(0, 256, 64).astype(np.uint8)))
+            # no close(): abandon the rest of the store's state
+            store, db, table = _open(path, bucket)
+
+    assert kills > 0, "seed produced no kills; widen N_COMMANDS"
+
+    # final hard kill + reopen, then verify accounting
+    lost_txns = db.wal.hard_kill(partial_writes=int(rng.integers(0, 6)))
+    for tx in lost_txns:
+        may_be_lost.update(rows_by_tx.get(tx, ()))
+    store, db, table = _open(path, bucket)
+    got = _read_timestamps(db)
+
+    written = set(range(next_ts))
+    got_set = set(got)
+    assert len(got) == len(got_set), "duplicated rows after crash recovery"
+    assert got_set <= written, "phantom rows"
+    must_survive = written - may_be_lost
+    missing = must_survive - got_set
+    assert not missing, (
+        f"lost {len(missing)} durable rows (first: {sorted(missing)[:5]}); "
+        f"{len(may_be_lost)} legitimately lossable, kills={kills}"
+    )
+    store.close()
