@@ -441,6 +441,14 @@ class CompiledFilterAggregate:
     # ------------------------------------------------------------------
 
     def execute(self) -> ColumnBatch:
+        from .tracing import span as _span
+
+        with _span(
+            "compiled/execute", table=self.table.name, group=self.group_col
+        ):
+            return self._execute()
+
+    def _execute(self) -> ColumnBatch:
         import jax.numpy as jnp
 
         from .ops.fused import (

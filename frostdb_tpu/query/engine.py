@@ -82,7 +82,22 @@ class LocalQueryBuilder:
         return build_physical(self._optimized_plan(), self.engine.exec_options)
 
     def execute(self, callback: Callable[[ColumnBatch], None]) -> None:
-        plan = self._optimized_plan()
+        tracer = self.engine.exec_options.tracer
+        if tracer is None:
+            self._execute(callback)
+            return
+        # Per-query root span; inner layers (scan, convert, compiled
+        # executor) nest under it via tracing.span (the reference threads
+        # spans through Iterator/Build/Execute, table.go:752,
+        # physicalplan.go:296).
+        with tracer.span("query/execute") as root:
+            self._execute(callback, root)
+
+    def _execute(self, callback, root_span=None) -> None:
+        from ..tracing import span as _span
+
+        with _span("plan/optimize"):
+            plan = self._optimized_plan()
         if (
             self.engine.exec_options.mesh is not None
             and self.engine.exec_options.allocator is None
@@ -118,12 +133,22 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan(plan, self.engine.exec_options).execute()
+                if root_span is not None:
+                    root_span.attributes["path"] = "compiled"
                 if out.num_rows > 0:
                     callback(out)
                 return
             except NotCompilable:
                 pass
-        build_physical(plan, self.engine.exec_options).execute(callback)
+        with _span("physical/build"):
+            output = build_physical(plan, self.engine.exec_options)
+        if root_span is not None:
+            # The drawn operator DAG rides the query span like the
+            # reference's span attribute (physicalplan.go:505).
+            root_span.attributes["plan"] = output.draw_string()
+            root_span.attributes["path"] = "generic"
+        with _span("physical/execute"):
+            output.execute(callback)
 
     def explain(self) -> str:
         output = self._build_physical()

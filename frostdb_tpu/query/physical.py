@@ -871,8 +871,12 @@ class ExecOptions:
         compiled_serving: bool = True,
         mesh=None,
         mesh_axis: str = "shards",
+        tracer=None,
     ):
         self.concurrency = concurrency
+        # Tracer for per-query span trees (reference: query/engine.go:36
+        # WithTracer); None disables tracing with zero overhead.
+        self.tracer = tracer
         self.ordered_aggregations = ordered_aggregations
         # LimitAllocator for per-query memory limiting (reference:
         # query/memory.go; wired into the accumulate points).

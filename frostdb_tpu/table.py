@@ -95,7 +95,7 @@ class TableBlock:
             LevelConfig(l.level, l.max_size, self._compact_fn(l.level))
             for l in DEFAULT_LEVELS
         ]
-        self.index = LSM(cfgs)
+        self.index = LSM(cfgs, on_compact=self._on_compact)
         self.index.watermark = lambda: table.db.high_watermark() if table.db else 2**63
         self._size = 0
         self.disk_level = None
@@ -108,6 +108,12 @@ class TableBlock:
                 os.path.join(d, self.id, str(final)), final
             )
         self._final_level = final
+
+    def _on_compact(self, level: int) -> None:
+        """Per-level compaction counters (reference: index/lsm.go:99-120)."""
+        t = self.table
+        if t.db is not None and t.db.store is not None and t.db.store.metrics:
+            t.db.store.metrics.lsm_compactions(level).inc()
 
     def _compact_fn(self, level: int):
         def compact(parts: list[Part]) -> list[Part]:
@@ -228,6 +234,8 @@ class Table:
 
         if self.db is not None and self.db.wal is not None and not self.config.disable_wal:
             self.db.wal.log_record(tx, self.name, batch, self.active_block.id)
+            if self.db.store is not None and self.db.store.metrics is not None:
+                self.db.store.metrics.wal_records_logged.inc()
 
         self.active_block.insert(tx, batch)
 
@@ -389,6 +397,16 @@ class Table:
         """Push each visible part's batch through the operator callbacks.
         All batches go down lane 0 for deterministic stream order (see
         query/physical.py module docstring)."""
+        from .tracing import span as _span
+
+        with _span("table/iterator", table=self.name, tx=tx) as s:
+            self._iterate(
+                tx, callbacks, physical_projection, filter, distinct_columns, s
+            )
+
+    def _iterate(
+        self, tx, callbacks, physical_projection, filter, distinct_columns, s
+    ) -> None:
         parts = self.collect_parts(tx)
         sp = self.source_parts() if self.db is not None else []
         source_batches = []
@@ -410,11 +428,14 @@ class Table:
             parts = parts + sp
         cb = callbacks[0]
         prune_memo: dict = {}
+        n_scanned = n_pruned = 0
         for part in parts:
             if filter is not None and prune_part(part, filter, prune_memo):
+                n_pruned += 1
                 if self.metrics is not None:
                     self.metrics.parts_pruned.inc()
                 continue
+            n_scanned += 1
             if self.metrics is not None:
                 self.metrics.parts_scanned.inc()
             batch = part.batch
@@ -428,6 +449,9 @@ class Table:
         for batch in source_batches:
             batch = self._apply_physical_projection(batch, physical_projection)
             cb(batch)
+        if s is not None:
+            s.attributes["parts_scanned"] = n_scanned
+            s.attributes["parts_pruned"] = n_pruned
 
     def _distinct_scan_batch(self, batch, distinct_columns):
         """Distinct pushdown fast path (reference: the scan layer returns

@@ -51,6 +51,9 @@ class Span:
 _current_span: contextvars.ContextVar[Optional[Span]] = contextvars.ContextVar(
     "frostdb_tpu_span", default=None
 )
+_current_tracer: contextvars.ContextVar[Optional["Tracer"]] = (
+    contextvars.ContextVar("frostdb_tpu_tracer", default=None)
+)
 
 
 class Tracer:
@@ -70,6 +73,7 @@ class Tracer:
         else:
             parent.children.append(s)
         token = _current_span.set(s)
+        ttoken = _current_tracer.set(self)
         try:
             if _HAVE_JAX:
                 with jax.profiler.TraceAnnotation(name):
@@ -79,6 +83,7 @@ class Tracer:
         finally:
             s.end = time.perf_counter()
             _current_span.reset(token)
+            _current_tracer.reset(ttoken)
 
     def reset(self) -> None:
         self.roots = []
@@ -90,3 +95,18 @@ DEFAULT_TRACER = Tracer()
 
 def get_tracer() -> Tracer:
     return DEFAULT_TRACER
+
+
+@contextlib.contextmanager
+def span(name: str, **attributes):
+    """Span on the *ambient* tracer: inner layers (table scan, compiled
+    executor, WAL) call this without threading a tracer handle — it nests
+    under whatever Tracer.span is active (the engine's per-query root) and
+    no-ops otherwise. The analogue of the reference passing trace.Tracer
+    through every layer via options (db.go:137, query/engine.go:36)."""
+    t = _current_tracer.get()
+    if t is None:
+        yield None
+        return
+    with t.span(name, **attributes) as s:
+        yield s
