@@ -157,3 +157,124 @@ def test_scaling_partition_shapes():
     assert t.n_pad % 8 == 0
     sc = t.column("value")
     assert sc.data.shape[0] == t.n_pad
+
+
+def test_distributed_join_duplicate_keys_inner_outer_semi_anti():
+    """Duplicate-key build sides (CSR buckets + searchsorted expansion,
+    static capacity with exact overflow escalation) across all join modes,
+    verified against a numpy reference join."""
+    from frostdb_tpu.parallel.join import (
+        distributed_hash_join_multi,
+        distributed_join_auto,
+    )
+
+    rng = np.random.default_rng(11)
+    d = Dictionary()
+    n_keys = 16
+    for i in range(n_keys):
+        d.code(f"k{i}")
+
+    nl = 600
+    l_codes = rng.integers(0, n_keys, nl).astype(np.int32)
+    l_vals = np.arange(nl, dtype=np.int64)
+    ones_l = np.ones(nl, dtype=bool)
+    left = ColumnBatch(
+        [
+            Column("key", KIND_DICT, l_codes, ones_l, d),
+            Column("lval", KIND_INT64, l_vals, ones_l),
+        ],
+        nl,
+    )
+
+    # duplicate-key build side: keys 0..11 with 1..4 rows each; 12..15 absent
+    r_codes, r_vals = [], []
+    for k in range(12):
+        for j in range(1 + k % 4):
+            r_codes.append(k)
+            r_vals.append(k * 100 + j)
+    r_codes = np.asarray(r_codes, dtype=np.int32)
+    r_vals = np.asarray(r_vals, dtype=np.int64)
+    ones_r = np.ones(len(r_codes), dtype=bool)
+    right = ColumnBatch(
+        [
+            Column("key", KIND_DICT, r_codes, ones_r, d),
+            Column("rval", KIND_INT64, r_vals, ones_r),
+        ],
+        len(r_codes),
+    )
+
+    mesh = make_mesh()
+    lt = PartitionedTable.from_batch(left, mesh, hash_key="key")
+    rt = PartitionedTable.from_batch(right, mesh, hash_key="key")
+
+    # numpy reference inner join multiset over (l_key, l_val, r_val)
+    expect = []
+    for i in range(nl):
+        for j in range(len(r_codes)):
+            if l_codes[i] == r_codes[j]:
+                expect.append((int(l_codes[i]), int(l_vals[i]), int(r_vals[j])))
+    expect.sort()
+
+    totals, li, rvalid, rvs, cap = distributed_join_auto(
+        lt, rt, "key", n_keys, ["rval"], mode="inner", initial_capacity=64
+    )
+    li = np.asarray(li)
+    rvalid_np = np.asarray(rvalid)
+    rv = np.asarray(rvs[0])
+    rv_valid = np.asarray(rvs[1])
+    lk = np.asarray(lt.column("key").data)
+    lv = np.asarray(lt.column("lval").data)
+    lvalid = np.asarray(lt.column("key").validity)
+    n_shards = mesh.devices.size
+    per_shard = len(lk) // n_shards
+    got = []
+    for s in range(n_shards):
+        t = int(totals[s])
+        assert t <= cap
+        for o in range(t):
+            g = s * cap + o
+            assert rvalid_np[g] and rv_valid[g]
+            row = s * per_shard + int(li[g])
+            assert lvalid[row]
+            got.append((int(lk[row]), int(lv[row]), int(rv[g])))
+    assert sorted(got) == expect
+
+    # left_outer: every valid left row appears; unmatched exactly once with
+    # right_valid False.
+    totals, li, rvalid, rvs, cap = distributed_join_auto(
+        lt, rt, "key", n_keys, ["rval"], mode="left_outer", initial_capacity=64
+    )
+    li = np.asarray(li); rvalid_np = np.asarray(rvalid); rv = np.asarray(rvs[0])
+    outer_got = []
+    for s in range(n_shards):
+        for o in range(int(totals[s])):
+            g = s * cap + o
+            row = s * per_shard + int(li[g])
+            if not lvalid[row]:
+                continue  # padding rows emit one left_outer slot each
+            if rvalid_np[g]:
+                outer_got.append((int(lk[row]), int(lv[row]), int(rv[g])))
+            else:
+                outer_got.append((int(lk[row]), int(lv[row]), None))
+    matched_left = {e[1] for e in expect}
+    expect_outer = expect + [
+        (int(l_codes[i]), int(l_vals[i]), None)
+        for i in range(nl)
+        if int(l_vals[i]) not in matched_left
+    ]
+    assert sorted(outer_got, key=str) == sorted(expect_outer, key=str)
+
+    # semi/anti masks
+    semi = np.asarray(
+        distributed_join_auto(lt, rt, "key", n_keys, [], mode="semi")
+    )
+    anti = np.asarray(
+        distributed_join_auto(lt, rt, "key", n_keys, [], mode="anti")
+    )
+    for i in range(len(lk)):
+        if not lvalid[i]:
+            assert not semi[i] and not anti[i]
+            continue
+        has = int(lk[i]) < 12
+        assert semi[i] == has
+        assert anti[i] == (not has)
