@@ -48,6 +48,15 @@ KIND_UINT64 = "uint64"
 KIND_FLOAT64 = "float64"
 KIND_BOOL = "bool"
 KIND_DICT = "dict"  # string -> int32 codes into a Dictionary
+# Variable-length lists (reference: pqarrow/builder/listbuilder.go,
+# internal/records slices->lists). TPU-native representation: the Column's
+# ``values`` hold a per-row int64 CONTENT HASH (order- and null-sensitive),
+# so grouping/distinct/prehash/equality flow through every device kernel
+# unchanged, while the variable-length payload lives host-side as
+# ``offsets`` [n+1] + a flat ``child`` Column for materialization
+# (the same hash-the-list trick the reference uses in HashArray,
+# dynparquet/hashed.go:86 list case).
+KIND_LIST = "list"
 
 _KIND_NP_DTYPE = {
     KIND_INT64: np.int64,
@@ -55,11 +64,14 @@ _KIND_NP_DTYPE = {
     KIND_FLOAT64: np.float64,
     KIND_BOOL: np.bool_,
     KIND_DICT: np.int32,
+    KIND_LIST: np.int64,
 }
 
 
 def kind_for_layout(layout: StorageLayout) -> str:
     t = layout.type
+    if layout.repeated:
+        return KIND_LIST
     if t == TYPE_STRING:
         return KIND_DICT
     if t == TYPE_INT64:
@@ -86,6 +98,72 @@ def _mix64(x: int) -> int:
     x = (x * _M2) & _MASK
     x ^= x >> 33
     return x
+
+
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized _mix64 over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(_M1)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(_M2)
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def list_row_hashes(
+    offsets: np.ndarray, elem_hashes: np.ndarray, validity: np.ndarray
+) -> np.ndarray:
+    """Order- and null-sensitive per-row content hash of a list column —
+    the device-facing value of a KIND_LIST column (the analogue of the
+    reference hashing whole lists in HashArray, dynparquet/hashed.go:86).
+    ``elem_hashes`` is one int64/uint64 hash per flat child element (null
+    child slots must already hold a fixed sentinel)."""
+    n = len(offsets) - 1
+    lengths = np.diff(offsets).astype(np.int64)
+    total = int(offsets[-1])
+    with np.errstate(over="ignore"):
+        if total:
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            pos = (
+                np.arange(total, dtype=np.uint64)
+                - np.repeat(offsets[:-1].astype(np.uint64), lengths)
+            )
+            # Positional weighting keeps the hash order-sensitive while the
+            # per-row fold stays a commutative scatter-add.
+            g = _mix64_np(
+                elem_hashes.astype(np.uint64) ^ ((pos + np.uint64(1)) * np.uint64(_M2))
+            )
+            sums = np.zeros(n, dtype=np.uint64)
+            np.add.at(sums, row_ids, g)
+        else:
+            sums = np.zeros(n, dtype=np.uint64)
+        h = _mix64_np(sums ^ (lengths.astype(np.uint64) * np.uint64(_M3)))
+    out = h.view(np.int64)
+    return np.where(validity, out, np.int64(0))
+
+
+_NULL_ELEM_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _element_hashes(child: "Column") -> np.ndarray:
+    """Per-element uint64 hashes of a list's flat child column (dictionary
+    codes hash through the table-global dictionary so equal strings hash
+    equal across parts; null elements hash to a fixed sentinel)."""
+    if child.kind == KIND_DICT:
+        code_hash = child.dictionary.hash_for_code().view(np.uint64)
+        if len(code_hash):
+            h = code_hash[np.clip(child.values.astype(np.int64), 0, len(code_hash) - 1)]
+        else:
+            h = np.zeros(len(child), dtype=np.uint64)
+    elif child.kind == KIND_LIST:
+        h = child.values.view(np.uint64)
+    elif child.kind == KIND_FLOAT64:
+        h = _mix64_np(child.values.view(np.uint64))
+    else:
+        h = _mix64_np(child.values.astype(np.int64).view(np.uint64))
+    return np.where(child.validity, h, _NULL_ELEM_SENTINEL)
 
 
 def _hash64(s: str) -> int:
@@ -207,6 +285,9 @@ class Column:
     dictionary: Dictionary | None = None
     # Layout metadata carried through for parquet round-trips.
     layout: StorageLayout | None = None
+    # List payload (KIND_LIST only): offsets [n+1] into the flat child.
+    offsets: np.ndarray | None = None
+    child: "Column | None" = None
 
     def __post_init__(self) -> None:
         assert self.values.shape == self.validity.shape, (
@@ -216,11 +297,37 @@ class Column:
         )
         if self.kind == KIND_DICT:
             assert self.dictionary is not None
+        if self.kind == KIND_LIST:
+            assert self.offsets is not None and self.child is not None
 
     def __len__(self) -> int:
         return len(self.values)
 
     def take(self, indices: np.ndarray) -> "Column":
+        if self.kind == KIND_LIST:
+            lengths = np.diff(self.offsets)[indices]
+            new_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=new_off[1:])
+            total = int(new_off[-1])
+            if total:
+                starts = self.offsets[indices].astype(np.int64)
+                child_idx = (
+                    np.repeat(starts, lengths)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(new_off[:-1], lengths)
+                )
+            else:
+                child_idx = np.zeros(0, dtype=np.int64)
+            return Column(
+                self.name,
+                self.kind,
+                self.values[indices],
+                self.validity[indices],
+                self.dictionary,
+                self.layout,
+                offsets=new_off,
+                child=self.child.take(child_idx),
+            )
         return Column(
             self.name,
             self.kind,
@@ -237,6 +344,9 @@ class Column:
         """Python value at row i (None when null)."""
         if not self.validity[i]:
             return None
+        if self.kind == KIND_LIST:
+            lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
+            return [self.child.py_value(j) for j in range(lo, hi)]
         if self.kind == KIND_DICT:
             return self.dictionary.values[int(self.values[i])]
         v = self.values[i]
@@ -249,10 +359,31 @@ class Column:
     @staticmethod
     def all_null(
         name: str, kind: str, n: int, dictionary: Dictionary | None = None,
-        layout: StorageLayout | None = None,
+        layout: StorageLayout | None = None, template: "Column | None" = None,
     ) -> "Column":
         """Virtual all-null column (reference: pqarrow/nullarray.go
-        `VirtualNullArray`, dynparquet/nil_chunk.go `NilColumnChunk`)."""
+        `VirtualNullArray`, dynparquet/nil_chunk.go `NilColumnChunk`).
+        ``template`` supplies the child structure for list columns."""
+        offsets = child = None
+        if kind == KIND_LIST:
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            if template is not None and template.child is not None:
+                child = template.child.take(np.zeros(0, dtype=np.int64))
+            else:
+                child_kind = KIND_INT64
+                if layout is not None:
+                    import dataclasses
+
+                    child_kind = kind_for_layout(
+                        dataclasses.replace(layout, repeated=False)
+                    )
+                child = Column.all_null(
+                    "item",
+                    child_kind,
+                    0,
+                    dictionary if child_kind == KIND_DICT else None,
+                )
+            dictionary = None if kind == KIND_LIST else dictionary
         return Column(
             name,
             kind,
@@ -260,6 +391,8 @@ class Column:
             np.zeros(n, dtype=np.bool_),
             dictionary,
             layout,
+            offsets=offsets,
+            child=child,
         )
 
 
@@ -387,11 +520,14 @@ class ColumnBatch:
             if c is None:
                 kind = kind_for_layout(cdef.layout)
                 fam = split_dynamic(full_name)[0] if is_dynamic_name(full_name) else full_name
+                needs_dict = kind == KIND_DICT or (
+                    kind == KIND_LIST and cdef.layout.type == TYPE_STRING
+                )
                 c = Column.all_null(
                     full_name,
                     kind,
                     self.num_rows,
-                    dictionaries.get(fam) if kind == KIND_DICT else None,
+                    dictionaries.get(fam) if needs_dict else None,
                     cdef.layout,
                 )
             cols.append(c)
@@ -440,20 +576,30 @@ class ColumnBatch:
     def to_arrow(self) -> pa.RecordBatch:
         arrays = []
         fields = []
-        for c in self.columns:
+
+        def convert(c: Column) -> pa.Array:
             mask = ~c.validity
+            if c.kind == KIND_LIST:
+                child_arr = convert(c.child)
+                return pa.ListArray.from_arrays(
+                    pa.array(c.offsets.astype(np.int32), type=pa.int32()),
+                    child_arr,
+                    mask=pa.array(mask) if mask.any() else None,
+                )
             if c.kind == KIND_DICT:
                 dict_values = pa.array(c.dictionary.values, type=pa.string())
                 indices = pa.array(c.values.astype(np.int32), mask=mask)
-                arr = pa.DictionaryArray.from_arrays(indices, dict_values)
-            elif c.kind == KIND_BOOL:
-                arr = pa.array(c.values, type=pa.bool_(), mask=mask)
-            elif c.kind == KIND_FLOAT64:
-                arr = pa.array(c.values, type=pa.float64(), mask=mask)
-            elif c.kind == KIND_UINT64:
-                arr = pa.array(c.values, type=pa.uint64(), mask=mask)
-            else:
-                arr = pa.array(c.values, type=pa.int64(), mask=mask)
+                return pa.DictionaryArray.from_arrays(indices, dict_values)
+            if c.kind == KIND_BOOL:
+                return pa.array(c.values, type=pa.bool_(), mask=mask)
+            if c.kind == KIND_FLOAT64:
+                return pa.array(c.values, type=pa.float64(), mask=mask)
+            if c.kind == KIND_UINT64:
+                return pa.array(c.values, type=pa.uint64(), mask=mask)
+            return pa.array(c.values, type=pa.int64(), mask=mask)
+
+        for c in self.columns:
+            arr = convert(c)
             arrays.append(arr)
             fields.append(pa.field(c.name, arr.type, nullable=True))
         return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
@@ -485,40 +631,60 @@ class ColumnBatch:
                 return dictionaries[fam]
             return local_dicts.setdefault(fam, Dictionary())
 
-        cols: list[Column] = []
-        n = rb.num_rows
-        for i, f in enumerate(rb.schema):
-            arr = rb.column(i)
-            t = f.type
+        def convert(name: str, arr: pa.Array) -> Column:
+            t = arr.type
             if pa.types.is_dictionary(t):
                 t = t.value_type
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                # Lists (reference: pqarrow/builder/listbuilder.go): flat
+                # child + offsets; the row values are content hashes (see
+                # KIND_LIST) so device kernels treat lists as scalars.
+                arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                np_valid = np.asarray(arr.is_valid())
+                offsets = np.asarray(arr.offsets, dtype=np.int64)
+                lo = int(offsets[0])
+                child_arr = arr.values.slice(
+                    lo, int(offsets[-1]) - lo
+                )
+                offsets = offsets - lo
+                child = convert(name, child_arr)
+                elem = _element_hashes(child)
+                vals = list_row_hashes(offsets, elem, np_valid)
+                return Column(
+                    name, KIND_LIST, vals, np_valid,
+                    offsets=offsets, child=child,
+                )
             if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
-                d = dict_for(f.name)
+                d = dict_for(name)
                 pylist = arr.to_pylist()
                 pylist = [
                     v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else v
                     for v in pylist
                 ]
                 codes, valid = d.encode(pylist)
-                cols.append(Column(f.name, KIND_DICT, codes, valid, d))
-            elif pa.types.is_boolean(t):
+                return Column(name, KIND_DICT, codes, valid, d)
+            if pa.types.is_boolean(t):
                 np_valid = np.asarray(arr.is_valid())
                 vals = np.asarray(arr.fill_null(False), dtype=np.bool_)
-                cols.append(Column(f.name, KIND_BOOL, vals, np_valid))
-            elif pa.types.is_floating(t):
+                return Column(name, KIND_BOOL, vals, np_valid)
+            if pa.types.is_floating(t):
                 np_valid = np.asarray(arr.is_valid())
                 vals = np.asarray(arr.cast(pa.float64()).fill_null(0.0), dtype=np.float64)
-                cols.append(Column(f.name, KIND_FLOAT64, vals, np_valid))
-            elif pa.types.is_unsigned_integer(t):
+                return Column(name, KIND_FLOAT64, vals, np_valid)
+            if pa.types.is_unsigned_integer(t):
                 np_valid = np.asarray(arr.is_valid())
                 vals = np.asarray(arr.cast(pa.uint64()).fill_null(0), dtype=np.uint64)
-                cols.append(Column(f.name, KIND_UINT64, vals, np_valid))
-            elif pa.types.is_integer(t):
+                return Column(name, KIND_UINT64, vals, np_valid)
+            if pa.types.is_integer(t):
                 np_valid = np.asarray(arr.is_valid())
                 vals = np.asarray(arr.cast(pa.int64()).fill_null(0), dtype=np.int64)
-                cols.append(Column(f.name, KIND_INT64, vals, np_valid))
-            else:
-                raise ValueError(f"unsupported arrow type {f.type} for column {f.name}")
+                return Column(name, KIND_INT64, vals, np_valid)
+            raise ValueError(f"unsupported arrow type {arr.type} for column {name}")
+
+        cols: list[Column] = []
+        n = rb.num_rows
+        for i, f in enumerate(rb.schema):
+            cols.append(convert(f.name, rb.column(i)))
         return ColumnBatch(cols, n)
 
 
@@ -537,5 +703,34 @@ def concat_batches(batches: Sequence[ColumnBatch]) -> ColumnBatch:
     for i, c0 in enumerate(batches[0].columns):
         vals = np.concatenate([b.columns[i].values for b in batches])
         valid = np.concatenate([b.columns[i].validity for b in batches])
-        cols.append(Column(c0.name, c0.kind, vals, valid, c0.dictionary, c0.layout))
+        offsets = child = None
+        if c0.kind == KIND_LIST:
+            parts = [b.columns[i] for b in batches]
+            lengths = np.concatenate([np.diff(c.offsets) for c in parts])
+            offsets = np.zeros(len(vals) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            child = _concat_columns([c.child for c in parts])
+        cols.append(
+            Column(
+                c0.name, c0.kind, vals, valid, c0.dictionary, c0.layout,
+                offsets=offsets, child=child,
+            )
+        )
     return ColumnBatch(cols, sum(b.num_rows for b in batches))
+
+
+def _concat_columns(cols: Sequence[Column]) -> Column:
+    """Concatenate same-kind columns (list children concat recursively)."""
+    c0 = cols[0]
+    vals = np.concatenate([c.values for c in cols])
+    valid = np.concatenate([c.validity for c in cols])
+    offsets = child = None
+    if c0.kind == KIND_LIST:
+        lengths = np.concatenate([np.diff(c.offsets) for c in cols])
+        offsets = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        child = _concat_columns([c.child for c in cols])
+    return Column(
+        c0.name, c0.kind, vals, valid, c0.dictionary, c0.layout,
+        offsets=offsets, child=child,
+    )

@@ -37,6 +37,10 @@ _KIND_JNP_DTYPE = {
     KIND_FLOAT64: jnp.float64,
     KIND_BOOL: jnp.bool_,
     KIND_DICT: jnp.int32,
+    # Lists upload their per-row content hashes (see columnbatch.KIND_LIST):
+    # device kernels group/distinct lists as scalar hash keys while the
+    # variable-length payload stays host-side.
+    "list": jnp.int64,
 }
 
 

@@ -110,7 +110,11 @@ class Part:
         if self._zone_map is None:
             zm: dict[str, tuple] = {}
             for c in self.batch.columns:
-                if c.kind == KIND_DICT or not c.validity.any():
+                if (
+                    c.kind == KIND_DICT
+                    or c.kind == "list"
+                    or not c.validity.any()
+                ):
                     continue
                 vals = c.values[c.validity]
                 if len(vals) == 0:
@@ -192,10 +196,17 @@ class LSM:
                 eligible = [p for p in self.levels[level] if p.tx <= wm]
                 if not eligible:
                     return
-                keep = [p for p in self.levels[level] if p.tx > wm]
             compacted = cfg.compact(eligible)
             with self._lock:
-                self.levels[level] = keep
+                # Splice out exactly the compacted parts; parts prepended by
+                # concurrent inserts while the merge ran must survive (the
+                # reference's CAS list splice, index/lsm.go:628-633 —
+                # a wholesale overwrite here loses them, caught by
+                # tests/test_concurrency.py).
+                elig_ids = {id(p) for p in eligible}
+                self.levels[level] = [
+                    p for p in self.levels[level] if id(p) not in elig_ids
+                ]
                 for p in reversed(compacted):
                     p.compaction_level = level + 1
                     self.levels[level + 1].insert(0, p)

@@ -321,20 +321,23 @@ def unify_concat(batches: list[ColumnBatch]) -> ColumnBatch:
     columns ordered alphabetically."""
     if len(batches) == 1:
         return batches[0]
-    specs: dict[str, tuple[str, Dictionary | None]] = {}
+    specs: dict[str, Column] = {}
     for b in batches:
         for c in b.columns:
             if c.name not in specs:
-                specs[c.name] = (c.kind, c.dictionary)
+                specs[c.name] = c
     names = sorted(specs)
     conformed = []
     for b in batches:
         cols = []
         for name in names:
-            kind, d = specs[name]
+            tmpl = specs[name]
             c = b.column(name)
             if c is None:
-                c = Column.all_null(name, kind, b.num_rows, d)
+                c = Column.all_null(
+                    name, tmpl.kind, b.num_rows, tmpl.dictionary,
+                    template=tmpl,
+                )
             cols.append(c)
         conformed.append(ColumnBatch(cols, b.num_rows))
     return concat_batches(conformed)
@@ -480,7 +483,26 @@ class HashAggregate(PhysicalOperator):
         ng = int(ng)
 
         out_cols: list[Column] = []
+        first_rows = None
         for c, v, va in zip(group_cols, gk, gkv):
+            if c.kind == "list":
+                # List keys group by their content hash; materialize each
+                # group's payload from its first row.
+                if first_rows is None:
+                    first_rows = np.clip(
+                        np.asarray(_first)[:ng], 0, max(len(c) - 1, 0)
+                    )
+                lc = c.take(first_rows)
+                out_cols.append(
+                    Column(
+                        c.name, c.kind,
+                        np.asarray(v)[:ng].astype(c.values.dtype),
+                        np.asarray(va)[:ng],
+                        c.dictionary, c.layout,
+                        offsets=lc.offsets, child=lc.child,
+                    )
+                )
+                continue
             out_cols.append(
                 Column(
                     c.name,

@@ -151,7 +151,39 @@ def build_batch(table, rows: Sequence[Any]) -> ColumnBatch:
                 m = get(row, fam)
                 values.append(m.get(sub) if isinstance(m, Mapping) else None)
         t = cdef.layout.type
-        if t == TYPE_STRING:
+        if cdef.layout.repeated:
+            # Python sequences -> list columns (reference: internal/records
+            # slices->lists, record_builder.go).
+            from .columnbatch import KIND_LIST, _element_hashes, list_row_hashes
+
+            valid = np.array([v is not None for v in values], dtype=bool)
+            flat: list[Any] = []
+            offsets = np.zeros(len(values) + 1, dtype=np.int64)
+            for i, v in enumerate(values):
+                if v is not None:
+                    flat.extend(v)
+                offsets[i + 1] = len(flat)
+            if t == TYPE_STRING:
+                d = table.dictionary(fam)
+                codes, cvalid = d.encode(
+                    [None if e is None else str(e) for e in flat]
+                )
+                child = Column("item", KIND_DICT, codes, cvalid, d)
+            else:
+                cvalid = np.array([e is not None for e in flat], dtype=bool)
+                cvals = np.array(
+                    [int(e) if e is not None else 0 for e in flat],
+                    dtype=np.int64,
+                )
+                child = Column("item", KIND_INT64, cvals, cvalid)
+            hashes = list_row_hashes(offsets, _element_hashes(child), valid)
+            cols.append(
+                Column(
+                    full_name, KIND_LIST, hashes, valid, None, cdef.layout,
+                    offsets=offsets, child=child,
+                )
+            )
+        elif t == TYPE_STRING:
             d = table.dictionary(fam)
             codes, valid = d.encode(
                 [None if v is None else str(v) for v in values]

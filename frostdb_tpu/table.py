@@ -96,7 +96,7 @@ class TableBlock:
             for l in DEFAULT_LEVELS
         ]
         self.index = LSM(cfgs, on_compact=self._on_compact)
-        self.index.watermark = lambda: table.db.high_watermark() if table.db else 2**63
+        self.index.watermark = table.compaction_watermark
         self._size = 0
         self.disk_level = None
         final = DEFAULT_LEVELS[-1].level
@@ -166,6 +166,8 @@ class Table:
         self._schema = Schema(config.schema)
         self.dictionaries: dict[str, Dictionary] = {}
         self._lock = threading.Lock()
+        # txns of in-flight view() readers (bounds compaction cuts).
+        self._active_views: list[int] = []
         self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=0)
         self.pending_blocks: list[TableBlock] = []
         self.metrics = None
@@ -332,8 +334,35 @@ class Table:
     # Scan (reference: table.go:731 View, :740 Iterator)
 
     def view(self, fn) -> None:
-        tx = self.db.high_watermark() if self.db is not None else 2**63
-        fn(tx)
+        """Run ``fn(tx)`` at the current watermark, registered as an active
+        reader: concurrent compactions bound their watermark cut to the
+        oldest registered view, so a merged part can never carry a tx newer
+        than an in-flight reader's snapshot (which would hide the rows the
+        reader is entitled to — the reference tracks readers per block with
+        waitgroups, table.go:633 ActiveWriteBlock; caught by
+        tests/test_concurrency.py)."""
+        # Watermark read + registration are one critical section, and
+        # compaction_watermark reads the watermark under the same lock:
+        # once a compactor has observed watermark W with no readers, any
+        # later reader registers at >= W (monotonic), so no registered view
+        # can be older than an already-chosen compaction cut.
+        with self._lock:
+            tx = self.db.high_watermark() if self.db is not None else 2**63
+            self._active_views.append(tx)
+        try:
+            fn(tx)
+        finally:
+            with self._lock:
+                self._active_views.remove(tx)
+
+    def compaction_watermark(self) -> int:
+        """Newest txn compaction may merge across: min(high watermark,
+        oldest active reader view)."""
+        wm = self.db.high_watermark() if self.db is not None else 2**63
+        with self._lock:
+            if self._active_views:
+                wm = min(wm, min(self._active_views))
+        return wm
 
     def collect_parts(self, tx: int, include_sources: bool = False) -> list[Part]:
         parts = list(self.active_block.index.scan(tx))
@@ -407,6 +436,26 @@ class Table:
     def _iterate(
         self, tx, callbacks, physical_projection, filter, distinct_columns, s
     ) -> None:
+        from .query import expr as E
+
+        # AggFuncPushDown effect (reference: optimize.go:160-175 — "memoize
+        # the max value seen so far and only scan row groups that contain a
+        # value greater"): a global single-agg min/max query pushes the agg
+        # expr into the scan; parts whose raw-value range cannot improve the
+        # running best are skipped. Raw ranges (null slots included) are the
+        # values that actually participate in the engine's min/max
+        # (aggregate.go raw-buffer semantics), so skipping is exact.
+        agg_skip = None
+        agg_best: Optional[int] = None
+        if (
+            isinstance(filter, E.AggregationFunction)
+            and filter.func in (E.AGG_MAX, E.AGG_MIN)
+            and type(filter.expr) is E.Column
+        ):
+            agg_skip = (filter.func, filter.expr.column_name)
+            filter = None  # an agg hint, not a row predicate
+        elif isinstance(filter, E.AggregationFunction):
+            filter = None  # sum/count hints: no skipping opportunity
         parts = self.collect_parts(tx)
         sp = self.source_parts() if self.db is not None else []
         source_batches = []
@@ -430,6 +479,24 @@ class Table:
         prune_memo: dict = {}
         n_scanned = n_pruned = 0
         for part in parts:
+            if agg_skip is not None and part.num_rows() > 0:
+                func, colname = agg_skip
+                r = (
+                    part.raw_range(colname)
+                    if part.batch.column(colname) is not None
+                    else None
+                ) or (0, 0)  # missing column backfills null -> raw zeros
+                cand = r[1] if func == E.AGG_MAX else r[0]
+                if agg_best is not None and (
+                    cand <= agg_best
+                    if func == E.AGG_MAX
+                    else cand >= agg_best
+                ):
+                    n_pruned += 1
+                    if self.metrics is not None:
+                        self.metrics.parts_pruned.inc()
+                    continue
+                agg_best = cand
             if filter is not None and prune_part(part, filter, prune_memo):
                 n_pruned += 1
                 if self.metrics is not None:

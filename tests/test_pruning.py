@@ -182,3 +182,41 @@ def test_prune_part_parity_fuzz():
             if prune_part(part, pred, memo):
                 mask = filter_mask(part.batch, pred)
                 assert not mask.any(), f"false negative: {pred}"
+
+
+def test_agg_pushdown_minmax_skips_parts():
+    """AggFuncPushDown effect in the scan (optimize.go:160-175): a global
+    max(col)/min(col) query skips parts whose raw-value range cannot beat
+    the running best, with results identical to a full scan."""
+    store, db, table = _mk_table()
+    # 6 parts; newest part (scanned first) holds the global max.
+    for i in range(6):
+        _insert_label_part(table, "x", list(range(i * 100, i * 100 + 10)), ts0=i * 10)
+
+    def run(agg):
+        out = []
+        (
+            LocalEngine(db.table_provider())
+            .scan_table("t")
+            .aggregate([agg], [])
+            .execute(out.append)
+        )
+        (b,) = out
+        return int(b.columns[-1].values[0])
+
+    base_pruned = table.metrics.parts_pruned.value()
+    assert run(E.Max(E.Col("value"))) == 509
+    # newest-first scan: the newest part sets best=509; all 5 older pruned
+    assert table.metrics.parts_pruned.value() - base_pruned == 5
+
+    base_pruned = table.metrics.parts_pruned.value()
+    assert run(E.Min(E.Col("value"))) == 0
+    # min: best improves part by part until the oldest (which holds 0);
+    # newest-first means no part can be skipped here
+    assert table.metrics.parts_pruned.value() - base_pruned == 0
+
+    # sum/count hints must not skip anything
+    assert run(E.Sum(E.Col("value"))) == sum(
+        v for i in range(6) for v in range(i * 100, i * 100 + 10)
+    )
+    assert run(E.Count(E.Col("value"))) == 60
