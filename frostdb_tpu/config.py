@@ -46,3 +46,10 @@ def pad_length(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+# Scan fan-out: minimum total surviving rows before a query's part stream is
+# split across lane threads (below this, thread spawn overhead exceeds the
+# numpy/pyarrow GIL-released overlap win; results are byte-identical either
+# way — see Table._iterate).
+PARALLEL_SCAN_MIN_ROWS = 32768

@@ -8,12 +8,14 @@ synchronizer barriers, two-phase aggregation and limit-of-limits /
 distinct-of-distincts final stages (physicalplan.go:287-516), so the explain
 diagrams are string-identical to the reference's plan logictest goldens.
 
-Execution semantics: operator chains are logical lanes. On a single host the
-scan pushes every batch down lane 0 (deterministic stream order — the
-reference achieves per-stream determinism only for single-record scans and
-marks multi-record tests "unordered"); on a TPU mesh each lane maps to a
-device shard and the Synchronizer barrier becomes a collective (see
-parallel/).
+Execution semantics: operator chains are lanes. Small scans push every batch
+down lane 0; large scans split the part stream across lane THREADS in
+contiguous chunks (Table._iterate), with the Synchronizer barrier flushing
+lane buffers in lane order so the merged stream — and every downstream
+result — is byte-identical to serial execution (the reference achieves
+per-stream determinism only for single-record scans and marks multi-record
+tests "unordered"). On a TPU mesh each lane maps to a device shard and the
+Synchronizer barrier becomes a collective (see parallel/).
 """
 
 from __future__ import annotations
@@ -283,23 +285,65 @@ class Projection(PhysicalOperator):
 # Synchronizer
 
 
+class _SyncLane(PhysicalOperator):
+    """Per-lane inlet of a Synchronizer barrier. Each scan lane owns one, so
+    concurrent lane threads never touch shared downstream state: callbacks
+    buffer into the lane's private list, and the barrier flushes the buffers
+    in lane order on the last finish. Because the scan assigns parts to
+    lanes in *contiguous chunks* (Table._iterate), lane-ordered flushing
+    reproduces the exact serial stream order — output stays byte-identical
+    to single-lane execution (the reference instead documents multi-lane
+    output as unordered, synchronize.go:16)."""
+
+    def __init__(self, sync: "Synchronizer", i: int):
+        super().__init__()
+        self.sync = sync
+        self.i = i
+
+    def callback(self, batch: ColumnBatch) -> None:
+        self.sync._buffers[self.i].append(batch)
+
+    def finish(self) -> None:
+        self.sync.finish()
+
+    def close(self) -> None:
+        self.sync.close()
+
+    def draw(self) -> Diagram:
+        return self.sync.draw()
+
+
 class Synchronizer(PhysicalOperator):
-    """Unordered fan-in barrier (reference: synchronize.go:16). Single-host
-    execution is sequential, so this just counts lane finishes and cascades
-    the last one."""
+    """Fan-in barrier (reference: synchronize.go:16). Lane inlets buffer
+    their streams; the last finish flushes all buffers in lane order and
+    cascades downstream — deterministic regardless of lane-thread timing."""
 
     def __init__(self, arity: int):
         super().__init__()
         self.arity = arity
         self._finished = 0
         self._closed = 0
+        self._buffers: list[list[ColumnBatch]] = [[] for _ in range(arity)]
+        self._lanes = [_SyncLane(self, i) for i in range(arity)]
+
+    def lane(self, i: int) -> _SyncLane:
+        return self._lanes[i]
 
     def callback(self, batch: ColumnBatch) -> None:
-        self.next.callback(batch)
+        # Direct (non-lane) use: treat as lane 0.
+        self._buffers[0].append(batch)
+
+    def _flush(self) -> None:
+        bufs = self._buffers
+        self._buffers = [[] for _ in range(self.arity)]
+        for buf in bufs:
+            for b in buf:
+                self.next.callback(b)
 
     def finish(self) -> None:
         self._finished += 1
         if self._finished == self.arity:
+            self._flush()
             self.next.finish()
 
     def close(self) -> None:
@@ -656,18 +700,12 @@ class OrderedSynchronizer(Synchronizer):
     def __init__(self, arity: int, order_by: Sequence[E.Expr]):
         super().__init__(arity)
         self.order_by = list(order_by)
-        self._batches: list[ColumnBatch] = []
 
-    def callback(self, batch: ColumnBatch) -> None:
-        self._batches.append(batch)
-
-    def finish(self) -> None:
-        self._finished += 1
-        if self._finished != self.arity:
-            return
-        if self._batches:
-            merged = unify_concat(self._batches)
-            self._batches = []
+    def _flush(self) -> None:
+        batches = [b for buf in self._buffers for b in buf]
+        self._buffers = [[] for _ in range(self.arity)]
+        if batches:
+            merged = unify_concat(batches)
             names: list[str] = []
             for e in self.order_by:
                 for c in merged.columns:
@@ -678,7 +716,6 @@ class OrderedSynchronizer(Synchronizer):
             sorting = [(n, SortingColumnDef(n, "asc", True)) for n in names]
             merged = merged.sort_by(sorting)
             self.next.callback(merged)
-        self.next.finish()
 
     def draw(self) -> Diagram:
         child = self.next.draw() if self.next is not None else None
@@ -978,7 +1015,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev[i].set_next(d)
                 prev[i] = d
                 if sync is not None:
-                    d.set_next(sync)
+                    d.set_next(sync.lane(i))
             if sync is not None:
                 d = Distinction(node.distinct.exprs, opts.allocator)
                 sync.set_next(d)
@@ -991,7 +1028,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev[i].set_next(l)
                 prev[i] = l
                 if sync is not None:
-                    l.set_next(sync)
+                    l.set_next(sync.lane(i))
             if sync is not None:
                 l = Limiter(limit)
                 sync.set_next(l)
@@ -1022,7 +1059,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev[i].set_next(a)
                 prev[i] = a
                 if sync is not None:
-                    a.set_next(sync)
+                    a.set_next(sync.lane(i))
             if sync is not None:
                 a = make_aggregate(
                     node.aggregation,
@@ -1055,8 +1092,8 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
 
     if len(prev) > 1:
         sync = Synchronizer(len(prev))
-        for p in prev:
-            p.set_next(sync)
+        for j, p in enumerate(prev):
+            p.set_next(sync.lane(j))
         sync.set_next(output)
     else:
         prev[0].set_next(output)

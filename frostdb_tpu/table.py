@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .columnbatch import Column, ColumnBatch, Dictionary, KIND_DICT
+from .config import PARALLEL_SCAN_MIN_ROWS
 from .lsm import LSM, LevelConfig, Part, prune_part
 from .schema import Schema, SchemaDef, is_dynamic_name, split_dynamic
 
@@ -424,8 +425,10 @@ class Table:
         projection: Sequence = (),
     ) -> None:
         """Push each visible part's batch through the operator callbacks.
-        All batches go down lane 0 for deterministic stream order (see
-        query/physical.py module docstring)."""
+        Large scans fan parts out across lane threads in contiguous chunks;
+        the Synchronizer barrier restores serial stream order, so results
+        are byte-identical to single-lane execution (see query/physical.py
+        _SyncLane)."""
         from .tracing import span as _span
 
         with _span("table/iterator", table=self.name, tx=tx) as s:
@@ -475,9 +478,11 @@ class Table:
                 )
         else:
             parts = parts + sp
-        cb = callbacks[0]
+        # Serial metadata pass: zone-map / agg pruning (cheap, and agg_skip's
+        # running-best is order-dependent).
         prune_memo: dict = {}
         n_scanned = n_pruned = 0
+        survivors: list[Part] = []
         for part in parts:
             if agg_skip is not None and part.num_rows() > 0:
                 func, colname = agg_skip
@@ -505,17 +510,74 @@ class Table:
             n_scanned += 1
             if self.metrics is not None:
                 self.metrics.parts_scanned.inc()
+            survivors.append(part)
+
+        def emit(cb, part) -> None:
             batch = part.batch
             if filter is None and distinct_columns:
                 opt = self._distinct_scan_batch(batch, distinct_columns)
                 if opt is not None:
                     cb(opt)
-                    continue
-            batch = self._apply_physical_projection(batch, physical_projection)
-            cb(batch)
-        for batch in source_batches:
-            batch = self._apply_physical_projection(batch, physical_projection)
-            cb(batch)
+                    return
+            cb(self._apply_physical_projection(batch, physical_projection))
+
+        # Morsel fan-out (reference: the row-group channel feeding GOMAXPROCS
+        # operator chains, table.go:760 + physicalplan.go:22). Parts are
+        # assigned to lanes in CONTIGUOUS chunks and the Synchronizer barrier
+        # flushes lane buffers in lane order, so the merged stream — and
+        # therefore every downstream result, including first-occurrence group
+        # order — is byte-identical to serial lane-0 execution; numpy/pyarrow
+        # release the GIL so lane threads overlap the per-part operator work.
+        lanes = len(callbacks)
+        total_rows = sum(p.num_rows() for p in survivors)
+        if (
+            lanes > 1
+            and len(survivors) > 1
+            and total_rows >= PARALLEL_SCAN_MIN_ROWS
+        ):
+            chunks: list[list[Part]] = [[] for _ in range(lanes)]
+            target = (total_rows + lanes - 1) // lanes
+            li = acc = 0
+            for part in survivors:
+                if acc >= target and li < lanes - 1:
+                    li += 1
+                    acc = 0
+                chunks[li].append(part)
+                acc += part.num_rows()
+            errors: list[tuple[int, BaseException]] = []
+
+            def run_lane(i: int) -> None:
+                try:
+                    for part in chunks[i]:
+                        emit(callbacks[i], part)
+                    if i == lanes - 1:
+                        for batch in source_batches:
+                            callbacks[i](
+                                self._apply_physical_projection(
+                                    batch, physical_projection
+                                )
+                            )
+                except BaseException as e:  # surfaced on the query thread
+                    errors.append((i, e))
+
+            threads = [
+                threading.Thread(target=run_lane, args=(i,), daemon=True)
+                for i in range(1, lanes)
+                if chunks[i] or (i == lanes - 1 and source_batches)
+            ]
+            for t in threads:
+                t.start()
+            run_lane(0)
+            for t in threads:
+                t.join()
+            if errors:
+                raise min(errors, key=lambda t: t[0])[1]
+        else:
+            cb = callbacks[0]
+            for part in survivors:
+                emit(cb, part)
+            for batch in source_batches:
+                cb(self._apply_physical_projection(batch, physical_projection))
         if s is not None:
             s.attributes["parts_scanned"] = n_scanned
             s.attributes["parts_pruned"] = n_pruned
