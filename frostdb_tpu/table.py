@@ -17,8 +17,8 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
+from . import config as _config
 from .columnbatch import Column, ColumnBatch, Dictionary, KIND_DICT
-from .config import PARALLEL_SCAN_MIN_ROWS
 from .lsm import LSM, LevelConfig, Part, prune_part
 from .schema import Schema, SchemaDef, is_dynamic_name, split_dynamic
 
@@ -533,7 +533,7 @@ class Table:
         if (
             lanes > 1
             and len(survivors) > 1
-            and total_rows >= PARALLEL_SCAN_MIN_ROWS
+            and total_rows >= _config.PARALLEL_SCAN_MIN_ROWS
         ):
             chunks: list[list[Part]] = [[] for _ in range(lanes)]
             target = (total_rows + lanes - 1) // lanes

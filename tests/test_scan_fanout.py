@@ -1,0 +1,196 @@
+"""Threaded scan fan-out determinism (reference: the GOMAXPROCS row-group
+channel, table.go:760 + physicalplan.go:22; the Go suite marks multi-lane
+output "unordered" — here the contiguous-chunk lane assignment plus the
+lane-ordered Synchronizer flush make multi-lane output BYTE-IDENTICAL to
+serial execution, and this test is the oracle for that claim).
+
+Every query shape runs twice over the same multi-part table: once with the
+fan-out forced ON (PARALLEL_SCAN_MIN_ROWS=0, concurrency=8 so real lane
+threads run) and once forced OFF (threshold above the table size). Results
+must match including row order and group emission order. Shapes cover
+first-occurrence group order (the sharpest order dependency), distinct,
+limit-of-limits, filters, and ordered aggregation."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from frostdb_tpu import config
+from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
+from frostdb_tpu.db import ColumnStore
+from frostdb_tpu.memorylimit import LimitAllocator, MemoryLimitExceeded
+from frostdb_tpu.query import expr as E
+from frostdb_tpu.query.engine import LocalEngine
+from frostdb_tpu.query.physical import ExecOptions
+from frostdb_tpu.schema import sample_definition
+from frostdb_tpu.table import TableConfig
+
+N_PARTS = 24
+ROWS_PER_PART = 64
+
+
+def _setup():
+    store = ColumnStore()
+    db = store.db("fanout")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    d_et = table.dictionary("example_type")
+    d_st = table.dictionary("stacktrace")
+    rng = np.random.default_rng(7)
+    for p in range(N_PARTS):
+        n = ROWS_PER_PART
+        ets = [f"type{int(x)}" for x in rng.integers(0, 9, n)]
+        sts = [f"s{int(x)}" for x in rng.integers(0, 5, n)]
+        et, etv = d_et.encode(ets)
+        st, stv = d_st.encode(sts)
+        batch = ColumnBatch(
+            [
+                Column("example_type", KIND_DICT, et, etv, d_et),
+                Column("stacktrace", KIND_DICT, st, stv, d_st),
+                Column(
+                    "timestamp",
+                    KIND_INT64,
+                    rng.integers(0, 1000, n).astype(np.int64),
+                    np.ones(n, dtype=bool),
+                ),
+                Column(
+                    "value",
+                    KIND_INT64,
+                    rng.integers(-50, 50, n).astype(np.int64),
+                    np.ones(n, dtype=bool),
+                ),
+            ],
+            n,
+        )
+        table.insert_record(batch, sort=True)
+    return store, db
+
+
+def _run(db, build, *, parallel: bool, ordered=False, allocator=None):
+    opts = ExecOptions(
+        concurrency=8,
+        compiled_serving=False,
+        ordered_aggregations=ordered,
+        allocator=allocator,
+    )
+    engine = LocalEngine(db.table_provider(), exec_options=opts)
+    old = config.PARALLEL_SCAN_MIN_ROWS
+    config.PARALLEL_SCAN_MIN_ROWS = 0 if parallel else 1 << 60
+    try:
+        res = []
+        build(engine).execute(res.append)
+    finally:
+        config.PARALLEL_SCAN_MIN_ROWS = old
+    rows = []
+    for b in res:
+        names = tuple(c.name for c in b.columns)
+        for i in range(b.num_rows):
+            rows.append(tuple(c.py_value(i) for c in b.columns))
+    return names if res else (), rows
+
+
+SHAPES = [
+    (
+        "group_sum_first_occurrence_order",
+        lambda e: e.scan_table("t").aggregate(
+            [E.Sum(E.Col("value")), E.Count(E.Col("value"))],
+            [E.Col("example_type")],
+        ),
+        False,
+    ),
+    (
+        "filtered_group_minmax",
+        lambda e: e.scan_table("t")
+        .filter(E.Col("timestamp").gt(300))
+        .aggregate(
+            [E.Min(E.Col("value")), E.Max(E.Col("value"))],
+            [E.Col("stacktrace")],
+        ),
+        False,
+    ),
+    (
+        "distinct",
+        lambda e: e.scan_table("t").distinct(
+            E.Col("example_type"), E.Col("stacktrace")
+        ),
+        False,
+    ),
+    (
+        "limit_of_limits",
+        lambda e: e.scan_table("t")
+        .project(E.Col("timestamp"), E.Col("value"))
+        .limit(E.Literal(37)),
+        False,
+    ),
+    (
+        "ordered_aggregation",
+        lambda e: e.scan_table("t").aggregate(
+            [E.Sum(E.Col("value"))], [E.Col("example_type")]
+        ),
+        True,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,build,ordered", SHAPES)
+def test_fanout_byte_identical(name, build, ordered):
+    _s, db = _setup()
+    serial = _run(db, build, parallel=False, ordered=ordered)
+    for _ in range(3):  # repeat: thread timing must never change output
+        parallel = _run(db, build, parallel=True, ordered=ordered)
+        assert parallel == serial, name
+
+
+def test_fanout_limit_total_rows():
+    # limit-of-limits semantics don't promise WHICH rows under fan-out in
+    # the reference; here even the exact rows must match serial — but also
+    # sanity-check the count contract independently.
+    _s, db = _setup()
+    _names, rows = _run(
+        db,
+        lambda e: e.scan_table("t").limit(E.Literal(100)),
+        parallel=True,
+    )
+    assert len(rows) == 100
+
+
+def test_fanout_memory_limit_propagates():
+    # An operator raising on a lane THREAD must surface on the query thread
+    # as the same exception type (reference: recovery.Do panic-to-error,
+    # recovery/recovery.go:13).
+    _s, db = _setup()
+    with pytest.raises(MemoryLimitExceeded):
+        _run(
+            db,
+            lambda e: e.scan_table("t").aggregate(
+                [E.Sum(E.Col("value"))], [E.Col("example_type")]
+            ),
+            parallel=True,
+            allocator=LimitAllocator(64),
+        )
+
+
+def test_fanout_threads_actually_spawn(monkeypatch):
+    # Guard against the fan-out silently degrading to serial: with the
+    # threshold at 0 and 24 parts, lane threads must be created.
+    _s, db = _setup()
+    spawned = []
+    orig = threading.Thread
+
+    class SpyThread(orig):
+        def __init__(self, *a, **kw):
+            spawned.append(kw.get("target"))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(threading, "Thread", SpyThread)
+    import frostdb_tpu.table as table_mod
+
+    monkeypatch.setattr(table_mod.threading, "Thread", SpyThread)
+    _run(
+        db,
+        lambda e: e.scan_table("t").aggregate(
+            [E.Sum(E.Col("value"))], [E.Col("example_type")]
+        ),
+        parallel=True,
+    )
+    assert spawned
