@@ -18,8 +18,15 @@ when the planner can PROVE the fast pattern:
   value is integral and the cumulative magnitude bound stays within
   2^53 (both the float and integer sums are then exact and equal),
 - min/max additionally require the shifted span to fit one int32 plane,
-- the filter is a single comparison on a numeric column (fused into the
-  kernel) or absent,
+- the filter is an AND conjunction of ``col <op> literal`` leaves: int64
+  columns compare against int32-range literals (fused int32 compares);
+  dict/string columns evaluate ==/!=/=~/!~/contains/ordering through a
+  boolean LUT over the table-global dictionary (one gather per row — the
+  reference's per-dictionary-page predicate evaluation,
+  binaryscalarexpr.go:104) plus ==/!= against null via validity. Parts a
+  leaf or zone map proves empty are skipped before any device work
+  (lsm.prune_part; missing dynamic columns resolve statically to the
+  generic engine's missing-column semantics),
 - no null group keys (those fall back to the generic engine, which emits
   the null-key group).
 
@@ -78,6 +85,63 @@ class _AggSpec:
 
 
 @dataclass
+class _FilterLeaf:
+    """One conjunct of the compiled filter (the plan's AND tree flattens
+    into a list; each leaf multiplies into the kernel's selection mask).
+
+    kind "int":  an int64-column comparison fused as int32 compares.
+    kind "dict": a string predicate on a dict-coded column, reduced to a
+    boolean LUT over the table-global dictionary values (the reference
+    evaluates string predicates once per parquet dictionary page,
+    binaryscalarexpr.go:104) and applied as one gather per row.
+    """
+
+    column: str
+    op: str
+    lit: object
+    kind: str  # "int" | "dict"
+    dictionary: object = None  # table-global dictionary for "dict" leaves
+
+
+def _missing_leaf_all_true(leaf: _FilterLeaf) -> bool:
+    """Missing-column semantics for one filter leaf — mirrors the generic
+    engine exactly (physeval._binary_scalar_mask's col-is-None branch;
+    reference binaryscalarexpr.go:47-72, regexpfilter.go:23-33). True
+    means the leaf matches every row of a part lacking the column; False
+    means it matches none (the part is skipped)."""
+    import re
+
+    op, lit = leaf.op, leaf.lit
+    if op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
+        empty_match = (
+            re.compile(str(lit) if lit is not None else "").search("")
+            is not None
+        )
+        return (op == E.OP_REGEX_MATCH) == empty_match
+    if op == E.OP_EQ:
+        return not (lit is not None and isinstance(lit, str) and lit != "")
+    if op == E.OP_NOT_EQ:
+        return lit is not None
+    if op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
+        return False
+    return True  # contains / not-contains fall through to all-match
+
+
+_DICT_FILTER_OPS = (
+    E.OP_EQ,
+    E.OP_NOT_EQ,
+    E.OP_REGEX_MATCH,
+    E.OP_REGEX_NOT_MATCH,
+    E.OP_CONTAINS,
+    E.OP_NOT_CONTAINS,
+    E.OP_LT,
+    E.OP_LT_EQ,
+    E.OP_GT,
+    E.OP_GT_EQ,
+)
+
+
+@dataclass
 class _ValuePlan:
     """Per-value-column kernel plan computed from part metadata."""
 
@@ -109,17 +173,23 @@ def _digits_for(max_value: int) -> int:
 
 
 class CompiledFilterAggregate:
-    """Compiled ``select <aggs> where <col> <op> <lit> group by <dict col>``
-    over one table."""
+    """Compiled ``select <aggs> where <conjunctive filter> group by
+    <dict col>`` over one table. ``filter`` is one ``(col, op, lit)``
+    comparison or a list of them (an AND conjunction); int64 columns
+    compare against int literals, dict/string columns accept
+    ==/!=/=~/!~/contains/ordering against string literals (and ==/!=
+    against null)."""
 
     def __init__(
         self,
         table,
         group_col: str,
         aggs: Sequence[tuple],  # (func, column[, result_name])
-        filter: Optional[tuple[str, str, int]] = None,  # (col, op, literal)
+        filter=None,  # (col, op, lit) | [(col, op, lit), ...] | None
         output_projection: Optional[Sequence[tuple]] = None,
         ordered: bool = False,
+        filter_expr=None,  # original expr tree (part pruning); synthesized
+        # from the leaves when absent
     ):
         # ordered: emit groups in key order (string-value asc) instead of
         # first-occurrence order — set exactly when the generic planner
@@ -139,7 +209,6 @@ class CompiledFilterAggregate:
 
         self.table = table
         self.group_col = group_col
-        self.filter = filter
         self.on_tpu = jax.default_backend() == "tpu"
 
         schema = table.schema()
@@ -177,15 +246,58 @@ class CompiledFilterAggregate:
                 else:
                     plan.need_minmax = True
             self.aggs.append(_AggSpec(func, col, result_name))
-        if self.filter is not None:
-            fcol, fop, lit = self.filter
-            if fop not in ("<", "<=", ">", ">=", "==", "!="):
-                raise NotCompilable(f"filter op {fop} not comparable")
-            fdef = schema.column_by_name(fcol)
-            if fdef is None or fdef.layout.type != "int64":
-                raise NotCompilable("compiled filters compare int columns")
-            if not (_INT32_MIN <= lit <= _INT32_MAX):
-                raise NotCompilable("filter literal outside int32 range")
+        self.filters: list[_FilterLeaf] = []
+        self.filter_expr = filter_expr
+        if filter:
+            if isinstance(filter, tuple):
+                filter = [filter]
+            for fcol, fop, lit in filter:
+                fdef = schema.column_by_name(fcol)
+                if fdef is None:
+                    raise NotCompilable(f"unknown filter column {fcol}")
+                if fdef.layout.type == "string":
+                    if fop not in _DICT_FILTER_OPS:
+                        raise NotCompilable(
+                            f"filter op {fop} not on string columns"
+                        )
+                    if lit is None:
+                        if fop not in (E.OP_EQ, E.OP_NOT_EQ):
+                            raise NotCompilable("null literal needs ==/!=")
+                    elif not isinstance(lit, str):
+                        # The generic dict path str()-coerces; keep the
+                        # compiled envelope to provably-identical shapes.
+                        raise NotCompilable("string filter literal not str")
+                    ffam = fcol.split(".", 1)[0]
+                    self.filters.append(
+                        _FilterLeaf(
+                            fcol, fop, lit, "dict", table.dictionary(ffam)
+                        )
+                    )
+                elif fdef.layout.type == "int64":
+                    if fop not in _COMPARE_FILTER_OPS:
+                        raise NotCompilable(f"filter op {fop} not comparable")
+                    if not isinstance(lit, int) or isinstance(lit, bool):
+                        raise NotCompilable("filter literal is not an int")
+                    if not (_INT32_MIN <= lit <= _INT32_MAX):
+                        raise NotCompilable(
+                            "filter literal outside int32 range"
+                        )
+                    self.filters.append(_FilterLeaf(fcol, fop, lit, "int"))
+                else:
+                    raise NotCompilable(
+                        "compiled filters compare int or dict columns"
+                    )
+        if self.filter_expr is None and self.filters:
+            # Synthesize the expr tree so direct compile_filter_aggregate
+            # callers get the same TrueNegativeFilter part pruning the
+            # engine path gets (lsm.prune_part).
+            e = None
+            for leaf in self.filters:
+                t = E.BinaryExpr(
+                    E.Column(leaf.column), leaf.op, E.Literal(leaf.lit)
+                )
+                e = t if e is None else E.BinaryExpr(e, E.OP_AND, t)
+            self.filter_expr = e
 
     # ------------------------------------------------------------------
 
@@ -239,16 +351,25 @@ class CompiledFilterAggregate:
                     ranges[plan.column] = (vmin, vmax)
                     if plan.is_float:
                         float_bound += p.num_rows() * max(abs(r[0]), abs(r[1]))
-            if self.filter is not None:
-                fcol = self.filter[0]
-                f = p.batch.column(fcol)
+            for leaf in self.filters:
+                f = p.batch.column(leaf.column)
                 if f is None:
-                    raise NotCompilable(f"part lacks {fcol}")
-                r = p.raw_range(fcol)
-                if r is not None and not (
-                    _INT32_MIN <= r[0] and r[1] <= _INT32_MAX
-                ):
-                    raise NotCompilable("filter column outside int32 range")
+                    # Statically resolved per part in _filter_parts:
+                    # all-false parts were skipped, all-true leaves are
+                    # no-ops on this part.
+                    continue
+                if leaf.kind == "int":
+                    if f.kind != KIND_INT64:
+                        raise NotCompilable("filter column kind mismatch")
+                    r = p.raw_range(leaf.column)
+                    if r is not None and not (
+                        _INT32_MIN <= r[0] and r[1] <= _INT32_MAX
+                    ):
+                        raise NotCompilable(
+                            "filter column outside int32 range"
+                        )
+                elif f.kind != KIND_DICT:
+                    raise NotCompilable("filter column kind mismatch")
         if float_bound >= _EXACT_F64:
             # Past this bound a float64 sum can round while the int64 sum
             # stays exact — the paths could disagree; use the generic engine.
@@ -278,6 +399,76 @@ class CompiledFilterAggregate:
                 plan.hi_digits = _digits_for(max(span >> _LO_BITS, 1))
             else:
                 plan.num_digits = _digits_for(max(span, 1))
+
+    def _filter_parts(self, parts) -> list:
+        """Drop parts that provably contain no selected rows before any
+        device work: zone-map / code-presence pruning (lsm.prune_part — the
+        reference's TrueNegativeFilter row-group skipping, store.go:243 +
+        binaryscalarexpr.go:104) plus parts where a leaf on a missing
+        dynamic column statically matches nothing."""
+        if not self.filters:
+            return list(parts)
+        from .lsm import prune_part
+
+        memo: dict = {}
+        metrics = getattr(self.table, "metrics", None)
+        out = []
+        for p in parts:
+            skip = self.filter_expr is not None and prune_part(
+                p, self.filter_expr, memo
+            )
+            if not skip:
+                for leaf in self.filters:
+                    if p.batch.column(
+                        leaf.column
+                    ) is None and not _missing_leaf_all_true(leaf):
+                        skip = True
+                        break
+            if skip:
+                if metrics is not None:
+                    metrics.parts_pruned.inc()
+                continue
+            out.append(p)
+        return out
+
+    def _leaf_lut_np(self, idx: int) -> np.ndarray:
+        """Boolean LUT over the leaf's table-global dictionary values —
+        the exact reduction the generic engine applies per dict column
+        (physeval._dict_mask); memoized per query instance. An empty
+        dictionary pads to one slot so device gathers stay well-formed
+        (no valid row can carry a code then, and the mask ANDs with
+        validity, so the pad value matching _dict_mask's empty-LUT
+        branches is only for exactness on all-null parts)."""
+        from .lsm import _dict_match_lut
+
+        cache = getattr(self, "_lut_cache", None)
+        if cache is None:
+            cache = self._lut_cache = {}
+        leaf = self.filters[idx]
+        key = (idx, len(leaf.dictionary))
+        lut = cache.get(key)
+        if lut is None:
+            lut = _dict_match_lut(leaf.dictionary, leaf.op, leaf.lit, None)
+            if lut is None:  # every _DICT_FILTER_OPS op reduces to a LUT
+                raise NotCompilable(f"filter op {leaf.op} has no dict LUT")
+            if len(lut) == 0:
+                lut = np.asarray([leaf.op == E.OP_NOT_EQ], dtype=np.bool_)
+            cache[key] = lut
+        return lut
+
+    def _leaf_lut_dev(self, idx: int):
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_lut_dev_cache", None)
+        if cache is None:
+            cache = self._lut_dev_cache = {}
+        leaf = self.filters[idx]
+        key = (idx, len(leaf.dictionary))
+        lut = cache.get(key)
+        if lut is None:
+            lut = jnp.asarray(self._leaf_lut_np(idx).astype(np.int32))
+            cache[key] = lut
+        return lut
 
     def _pad2d(self, dev):
         """[N] -> [slabs, 128] padding closure for one part's device batch
@@ -311,22 +502,37 @@ class CompiledFilterAggregate:
         gvalid = pad2d(g.validity.astype(jnp.int32))
         row_valid = pad2d(dev.row_valid_mask().astype(jnp.int32))
         sel = row_valid * gvalid
-        if self.filter is not None:
-            fcol, fop, lit = self.filter
-            f = dev.column(fcol)
+        for i, leaf in enumerate(self.filters):
+            f = dev.column(leaf.column)
             if f is None:
-                raise NotCompilable(f"part lacks {fcol}")
-            fv = pad2d(f.data.astype(jnp.int32))
+                # Missing dynamic column: statically all-true for this
+                # part (all-false parts were dropped by _filter_parts).
+                continue
             fvalid = pad2d(f.validity.astype(jnp.int32))
-            cmp = {
-                "<": fv < lit,
-                "<=": fv <= lit,
-                ">": fv > lit,
-                ">=": fv >= lit,
-                "==": fv == lit,
-                "!=": fv != lit,
-            }[fop]
-            sel = sel * cmp.astype(jnp.int32) * fvalid
+            if leaf.kind == "int":
+                fv = pad2d(f.data.astype(jnp.int32))
+                lit = leaf.lit
+                cmp = {
+                    "<": fv < lit,
+                    "<=": fv <= lit,
+                    ">": fv > lit,
+                    ">=": fv >= lit,
+                    "==": fv == lit,
+                    "!=": fv != lit,
+                }[leaf.op]
+                sel = sel * cmp.astype(jnp.int32) * fvalid
+            elif leaf.lit is None:
+                # == null selects invalid slots, != null selects valid
+                # ones (DictionaryArrayScalarEqual's null special case,
+                # binaryscalarexpr.go:205).
+                sel = sel * (
+                    fvalid if leaf.op == E.OP_NOT_EQ else (1 - fvalid)
+                )
+            else:
+                lut = self._leaf_lut_dev(i)
+                fc = pad2d(f.data.astype(jnp.int32))
+                m = jnp.take(lut, fc, mode="clip")
+                sel = sel * m * fvalid
         return codes, sel
 
     def _value_planes(self, part, plan: _ValuePlan):
@@ -361,20 +567,29 @@ class CompiledFilterAggregate:
         within a single superblock."""
         g = part.batch.column(self.group_col)
         sel = g.validity[lo:hi].copy()
-        if self.filter is not None:
-            fcol, fop, lit = self.filter
-            f = part.batch.column(fcol)
-            fv = f.values[lo:hi]
-            cmp = {
-                "<": fv < lit,
-                "<=": fv <= lit,
-                ">": fv > lit,
-                ">=": fv >= lit,
-                "==": fv == lit,
-                "!=": fv != lit,
-            }[fop]
-            sel &= cmp
-            sel &= f.validity[lo:hi]
+        for i, leaf in enumerate(self.filters):
+            f = part.batch.column(leaf.column)
+            if f is None:
+                continue  # statically all-true (see _codes_sel)
+            fvalid = f.validity[lo:hi]
+            if leaf.kind == "int":
+                fv = f.values[lo:hi]
+                lit = leaf.lit
+                cmp = {
+                    "<": fv < lit,
+                    "<=": fv <= lit,
+                    ">": fv > lit,
+                    ">=": fv >= lit,
+                    "==": fv == lit,
+                    "!=": fv != lit,
+                }[leaf.op]
+                sel &= cmp & fvalid
+            elif leaf.lit is None:
+                sel &= fvalid if leaf.op == E.OP_NOT_EQ else ~fvalid
+            else:
+                lut = self._leaf_lut_np(i)
+                codes = np.minimum(f.values[lo:hi], len(lut) - 1)
+                sel &= lut[codes] & fvalid
         return sel
 
     def _rank_ties(self, part, super_idx: int, codes_needed) -> dict:
@@ -475,6 +690,7 @@ class CompiledFilterAggregate:
             parts = self.table.collect_parts(tx, include_sources=True)
         except SourceWithoutBlockAPI:
             raise NotCompilable("a data source lacks the block API")
+        parts = self._filter_parts(parts)
         num_codes = max(len(self.dictionary), 1)
         self._check_parts(parts)
         plans = list(self.value_plans.values())
@@ -723,9 +939,10 @@ class FastPlanSpec:
     table: object
     group_col: str
     aggs: list  # (func, column, result_name)
-    filter: Optional[tuple]  # (col, op, int literal) | None
+    filter: Optional[list]  # AND conjunction: [(col, op, literal), ...]
     output_projection: Optional[list]
     ordered: bool
+    filter_expr: object = None  # the plan's filter expr (part pruning)
 
 
 def lower_plan(plan, exec_options=None) -> CompiledFilterAggregate:
@@ -740,6 +957,7 @@ def lower_plan(plan, exec_options=None) -> CompiledFilterAggregate:
         s.filter,
         s.output_projection,
         ordered=s.ordered,
+        filter_expr=s.filter_expr,
     )
 
 
@@ -802,17 +1020,30 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
 
     filter_spec = None
     if filt is not None:
-        if not (
-            isinstance(filt, E.BinaryExpr)
-            and type(filt.left) is E.Column
-            and isinstance(filt.right, E.Literal)
-            and filt.op in _COMPARE_FILTER_OPS
-        ):
-            raise NotCompilable("filter is not col <cmp> literal")
-        lit = filt.right.value
-        if not isinstance(lit, int) or isinstance(lit, bool):
-            raise NotCompilable("filter literal is not an int")
-        filter_spec = (filt.left.column_name, filt.op, lit)
+        # Flatten the AND tree into conjunct leaves; each must be a plain
+        # ``col <op> literal`` comparison (per-leaf type/op validation
+        # happens in CompiledFilterAggregate.__init__ against the schema).
+        leaves: list = []
+
+        def flatten(e) -> None:
+            if isinstance(e, E.BinaryExpr) and e.op == E.OP_AND:
+                flatten(e.left)
+                flatten(e.right)
+                return
+            leaves.append(e)
+
+        flatten(filt)
+        filter_spec = []
+        for e in leaves:
+            if not (
+                isinstance(e, E.BinaryExpr)
+                and type(e.left) is E.Column
+                and isinstance(e.right, E.Literal)
+            ):
+                raise NotCompilable(
+                    "filter is not an AND of col <op> literal"
+                )
+            filter_spec.append((e.left.column_name, e.op, e.right.value))
 
     output_projection = None
     if proj_node is not None:
@@ -864,5 +1095,11 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
         ordered = _should_plan_ordered(exec_options, True, agg_node)
 
     return FastPlanSpec(
-        table, group_col, aggs, filter_spec, output_projection, ordered
+        table,
+        group_col,
+        aggs,
+        filter_spec,
+        output_projection,
+        ordered,
+        filter_expr=filt,
     )

@@ -254,6 +254,8 @@ def _dict_match_lut(dictionary, op: str, lit, memo: Optional[dict]) -> Optional[
     vals = dictionary.values
     if op == E.OP_EQ:
         lut = np.fromiter((v == lit for v in vals), dtype=np.bool_, count=len(vals))
+    elif op == E.OP_NOT_EQ:
+        lut = np.fromiter((v != lit for v in vals), dtype=np.bool_, count=len(vals))
     elif op == E.OP_REGEX_MATCH or op == E.OP_REGEX_NOT_MATCH:
         rx = _re.compile(str(lit))
         lut = np.fromiter(
@@ -261,9 +263,11 @@ def _dict_match_lut(dictionary, op: str, lit, memo: Optional[dict]) -> Optional[
         )
         if op == E.OP_REGEX_NOT_MATCH:
             lut = ~lut
-    elif op == E.OP_CONTAINS:
+    elif op == E.OP_CONTAINS or op == E.OP_NOT_CONTAINS:
         s = str(lit)
         lut = np.fromiter((s in v for v in vals), dtype=np.bool_, count=len(vals))
+        if op == E.OP_NOT_CONTAINS:
+            lut = ~lut
     elif op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
         s = str(lit)
         cmp = {

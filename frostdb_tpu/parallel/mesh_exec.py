@@ -79,13 +79,23 @@ class MeshFilterAggregate:
                 if vdef is not None and vdef.layout.type != "int64":
                     raise NotCompilable("mesh aggs reduce int columns")
             self.aggs.append((func, col, result_name))
-        if spec.filter is not None:
-            fcol, fop, _lit = spec.filter
+        # spec.filter is an AND-conjunction leaf list (compiled.match_plan);
+        # the mesh program fuses a single int comparison — wider filters
+        # fall through to the single-chip compiled path, which handles
+        # conjunctions and dict predicates.
+        self.filter = None
+        if spec.filter:
+            if len(spec.filter) != 1:
+                raise NotCompilable("mesh filter is a single comparison")
+            fcol, fop, lit = spec.filter[0]
             if fop not in ("<", "<=", ">", ">=", "==", "!="):
                 raise NotCompilable(f"filter op {fop} not comparable")
             fdef = schema.column_by_name(fcol)
             if fdef is None or fdef.layout.type != "int64":
                 raise NotCompilable("mesh filters compare int columns")
+            if not isinstance(lit, int) or isinstance(lit, bool):
+                raise NotCompilable("mesh filter literal is not an int")
+            self.filter = (fcol, fop, lit)
 
     # ------------------------------------------------------------------
 
@@ -97,8 +107,8 @@ class MeshFilterAggregate:
             # count(col) needs the column only for its own existence; the
             # generic engine counts selected rows of the part stream, so
             # the group/filter masks suffice.
-        if self.spec.filter is not None and self.spec.filter[0] not in cols:
-            cols.append(self.spec.filter[0])
+        if self.filter is not None and self.filter[0] not in cols:
+            cols.append(self.filter[0])
         return cols
 
     def _partitioned(self, parts) -> PartitionedTable:
@@ -149,7 +159,7 @@ class MeshFilterAggregate:
 
     def _program(self, num_codes: int, n_pad: int):
         ops = tuple(func for func, _c, _n in self.aggs)
-        fop = self.spec.filter[1] if self.spec.filter is not None else None
+        fop = self.filter[1] if self.filter is not None else None
         key = (id(self.mesh), self.axis, ops, fop, num_codes, n_pad)
         prog = _PROGRAM_CACHE.get(key)
         if prog is not None:
@@ -263,8 +273,8 @@ class MeshFilterAggregate:
         g = pt.column(self.spec.group_col)
         rid = pt.column(_ROWID)
         args = [g.data, g.validity, rid.data, rid.validity]
-        if self.spec.filter is not None:
-            fcol, _fop, lit = self.spec.filter
+        if self.filter is not None:
+            fcol, _fop, lit = self.filter
             f = pt.column(fcol)
             args += [f.data, f.validity, jnp.asarray(lit, jnp.int64)]
         for func, col, _name in self.aggs:
