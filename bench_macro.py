@@ -162,6 +162,25 @@ def main() -> None:
             ),
         )
 
+        # Merge with label matchers (the actual Parca merge shape,
+        # bench_test.go:299's queries carry label equality + a timestamp
+        # range): an AND conjunction with a dict-equality leaf — lowered
+        # onto the fused kernels via the table-global dictionary LUT.
+        time_query(
+            "merge_labeled",
+            lambda i: drain(
+                engine.scan_table("stacktraces")
+                .filter(
+                    E.And(
+                        E.Col("labels.node").eq(f"n{i % 40}"),
+                        E.Col("timestamp").gt_eq(25_000 + i),
+                        E.Col("timestamp").lt(75_000 + i),
+                    )
+                )
+                .aggregate([E.Sum(E.Col("value"))], [E.Col("stacktrace")])
+            ),
+        )
+
         # Serialize (bench_test.go:449): full sorted block serialization
         t0 = time.perf_counter()
         parts = table.active_block.index.rotate(

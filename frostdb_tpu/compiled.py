@@ -19,7 +19,8 @@ when the planner can PROVE the fast pattern:
   2^53 (both the float and integer sums are then exact and equal),
 - min/max additionally require the shifted span to fit one int32 plane,
 - the filter is an AND conjunction of ``col <op> literal`` leaves: int64
-  columns compare against int32-range literals (fused int32 compares);
+  columns compare at full 64-bit width (XLA compares feed the kernel's
+  selection mask, so filter columns have no 32-bit envelope);
   dict/string columns evaluate ==/!=/=~/!~/contains/ordering through a
   boolean LUT over the table-global dictionary (one gather per row — the
   reference's per-dictionary-page predicate evaluation,
@@ -278,9 +279,9 @@ class CompiledFilterAggregate:
                         raise NotCompilable(f"filter op {fop} not comparable")
                     if not isinstance(lit, int) or isinstance(lit, bool):
                         raise NotCompilable("filter literal is not an int")
-                    if not (_INT32_MIN <= lit <= _INT32_MAX):
+                    if not (-(2**63) <= lit < 2**63):
                         raise NotCompilable(
-                            "filter literal outside int32 range"
+                            "filter literal outside int64 range"
                         )
                     self.filters.append(_FilterLeaf(fcol, fop, lit, "int"))
                 else:
@@ -361,13 +362,6 @@ class CompiledFilterAggregate:
                 if leaf.kind == "int":
                     if f.kind != KIND_INT64:
                         raise NotCompilable("filter column kind mismatch")
-                    r = p.raw_range(leaf.column)
-                    if r is not None and not (
-                        _INT32_MIN <= r[0] and r[1] <= _INT32_MAX
-                    ):
-                        raise NotCompilable(
-                            "filter column outside int32 range"
-                        )
                 elif f.kind != KIND_DICT:
                     raise NotCompilable("filter column kind mismatch")
         if float_bound >= _EXACT_F64:
@@ -510,7 +504,10 @@ class CompiledFilterAggregate:
                 continue
             fvalid = pad2d(f.validity.astype(jnp.int32))
             if leaf.kind == "int":
-                fv = pad2d(f.data.astype(jnp.int32))
+                # Full-width int64 compare in XLA (x64 i64 is exact on
+                # TPU); only the resulting mask feeds the int32 kernel
+                # planes, so the filter column has no 32-bit envelope.
+                fv = f.data
                 lit = leaf.lit
                 cmp = {
                     "<": fv < lit,
@@ -520,7 +517,7 @@ class CompiledFilterAggregate:
                     "==": fv == lit,
                     "!=": fv != lit,
                 }[leaf.op]
-                sel = sel * cmp.astype(jnp.int32) * fvalid
+                sel = sel * pad2d(cmp.astype(jnp.int32)) * fvalid
             elif leaf.lit is None:
                 # == null selects invalid slots, != null selects valid
                 # ones (DictionaryArrayScalarEqual's null special case,

@@ -253,3 +253,33 @@ def test_non_str_literal_on_dict_column_falls_back():
             [("sum", "value")],
             filter=("labels.job", E.OP_EQ, 7),
         )
+
+
+def test_wide_int_filter_column_stays_compiled():
+    """Filter columns compare at full int64 width (the selection mask is
+    XLA-computed; only value planes have the int32 kernel envelope)."""
+    store = ColumnStore()
+    db = store.db("w")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    d_et = table.dictionary("example_type")
+    rng = np.random.default_rng(3)
+    n = 5000
+    et, etv = d_et.encode([f"t{int(x)}" for x in rng.integers(0, 5, n)])
+    wide = rng.integers(-(10**15), 10**15, n).astype(np.int64)
+    table.insert_record(
+        ColumnBatch(
+            [
+                Column("example_type", KIND_DICT, et, etv, d_et),
+                Column("timestamp", KIND_INT64, wide, np.ones(n, dtype=bool)),
+                Column(
+                    "value",
+                    KIND_INT64,
+                    rng.integers(0, 100, n).astype(np.int64),
+                    np.ones(n, dtype=bool),
+                ),
+            ],
+            n,
+        )
+    )
+    _assert_parity(db, E.Col("timestamp").gt_eq(-(10**14)))
+    _assert_parity(db, E.Col("timestamp").not_eq(int(wide[0])))
