@@ -68,6 +68,7 @@ import numpy as np
 
 from .columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
 from .query import expr as E
+from .query.physeval import missing_column_all_true
 
 _INT32_MIN = -(2**31)
 _INT32_MAX = 2**31 - 1
@@ -105,27 +106,19 @@ class _FilterLeaf:
 
 
 def _missing_leaf_all_true(leaf: _FilterLeaf) -> bool:
-    """Missing-column semantics for one filter leaf — mirrors the generic
-    engine exactly (physeval._binary_scalar_mask's col-is-None branch;
-    reference binaryscalarexpr.go:47-72, regexpfilter.go:23-33). True
-    means the leaf matches every row of a part lacking the column; False
-    means it matches none (the part is skipped)."""
+    """Missing-column semantics for one filter leaf via the shared helper
+    (physeval.missing_column_all_true — the single source of truth across
+    the generic/pruning/compiled paths). True means the leaf matches every
+    row of a part lacking the column; False means it matches none (the part
+    is skipped). An invalid regex literal falls back to the generic engine
+    (which may never evaluate it thanks to AND short-circuiting,
+    filter.go:174) instead of crashing the compiled path."""
     import re
 
-    op, lit = leaf.op, leaf.lit
-    if op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
-        empty_match = (
-            re.compile(str(lit) if lit is not None else "").search("")
-            is not None
-        )
-        return (op == E.OP_REGEX_MATCH) == empty_match
-    if op == E.OP_EQ:
-        return not (lit is not None and isinstance(lit, str) and lit != "")
-    if op == E.OP_NOT_EQ:
-        return lit is not None
-    if op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
-        return False
-    return True  # contains / not-contains fall through to all-match
+    try:
+        return missing_column_all_true(leaf.op, leaf.lit)
+    except re.error:
+        raise NotCompilable("invalid regex literal (generic engine path)")
 
 
 _DICT_FILTER_OPS = (
@@ -442,7 +435,17 @@ class CompiledFilterAggregate:
         key = (idx, len(leaf.dictionary))
         lut = cache.get(key)
         if lut is None:
-            lut = _dict_match_lut(leaf.dictionary, leaf.op, leaf.lit, None)
+            import re
+
+            try:
+                lut = _dict_match_lut(leaf.dictionary, leaf.op, leaf.lit, None)
+            except re.error:
+                # Invalid regex: the generic engine may complete the query
+                # via AND short-circuit without ever compiling it
+                # (filter.go:174); preserve that by falling back.
+                raise NotCompilable(
+                    "invalid regex literal (generic engine path)"
+                )
             if lut is None:  # every _DICT_FILTER_OPS op reduces to a LUT
                 raise NotCompilable(f"filter op {leaf.op} has no dict LUT")
             if len(lut) == 0:

@@ -230,6 +230,9 @@ class ColumnStore:
                 os.path.join(path, "wal"),
                 sync=self.wal_sync,
                 segment_size=self.wal_segment_size or SEGMENT_MAX_BYTES,
+                repair_counter=(
+                    self.metrics.wal_repairs if self.metrics else None
+                ),
             )
 
         d = DB(

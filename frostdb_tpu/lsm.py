@@ -306,21 +306,17 @@ def prune_part(part: Part, filter_expr, memo: Optional[dict] = None) -> bool:
         lit = e.right.value
         col = part.batch.column(name)
         if col is None:
-            # Missing dynamic column = all-null. Mirror physeval's
-            # missing-column semantics (binaryscalarexpr.go:47-72,
-            # regexpfilter.go:23-33): prune only where those yield an
-            # all-false mask.
-            if e.op == E.OP_EQ:
-                return lit is not None and isinstance(lit, str) and lit != ""
-            if e.op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
-                try:
-                    empty_match = _re.compile(str(lit or "")).search("") is not None
-                except _re.error:
-                    return False
-                return (e.op == E.OP_REGEX_MATCH) != empty_match
-            if e.op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
-                return True
-            return False
+            # Missing dynamic column = all-null. Prune exactly where the
+            # shared missing-column semantics yield an all-false mask
+            # (physeval.missing_column_all_true — the single source of
+            # truth for all engine paths); an invalid regex is never a
+            # provable negative.
+            from .query.physeval import missing_column_all_true
+
+            try:
+                return not missing_column_all_true(e.op, lit)
+            except _re.error:
+                return False
         if col.kind != KIND_DICT or lit is None or not isinstance(lit, str):
             return False
         presence = part.code_presence(name)

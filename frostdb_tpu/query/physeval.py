@@ -37,6 +37,32 @@ class EvalError(Exception):
     pass
 
 
+def missing_column_all_true(op: str, lit) -> bool:
+    """Missing-dynamic-column semantics for one ``col <op> literal`` leaf —
+    THE single source of truth (reference: binaryscalarexpr.go:47-72,
+    regexpfilter.go:23-33). True means the predicate matches every row of a
+    batch/part lacking the column; False means it matches none. Shared by
+    the generic mask evaluator (_binary_scalar_mask), the scan pruner
+    (lsm.prune_part) and the compiled/mesh fast paths
+    (compiled._missing_leaf_all_true), so the byte-identical parity contract
+    between the paths cannot drift. Raises ``re.error`` for an invalid regex
+    literal — callers decide (generic path surfaces it, pruning treats it as
+    not-provable, compiled paths fall back to the generic engine)."""
+    if op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
+        empty_match = (
+            re.compile(lit if lit is not None else "").search("") is not None
+        )
+        return (op == E.OP_REGEX_MATCH) == empty_match
+    if op == E.OP_EQ:
+        return not (lit is not None and isinstance(lit, str) and lit != "")
+    if op == E.OP_NOT_EQ:
+        return lit is not None
+    if op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
+        return False
+    # OpContains etc. fall through to all-match (binaryscalarexpr.go:71).
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Filter masks
 
@@ -98,25 +124,10 @@ def _binary_scalar_mask(batch: ColumnBatch, expr: E.BinaryExpr) -> np.ndarray:
 
     if col is None:
         # Missing column semantics (binaryscalarexpr.go:47-72 and
-        # regexpfilter.go:23-33).
-        if op in (E.OP_REGEX_MATCH, E.OP_REGEX_NOT_MATCH):
-            rx = re.compile(lit if lit is not None else "")
-            empty_match = rx.search("") is not None
-            if (op == E.OP_REGEX_MATCH) == empty_match:
-                return np.ones(n, dtype=np.bool_)
-            return np.zeros(n, dtype=np.bool_)
-        if op == E.OP_EQ:
-            if lit is not None and isinstance(lit, str) and lit != "":
-                return np.zeros(n, dtype=np.bool_)
+        # regexpfilter.go:23-33) via the shared helper.
+        if missing_column_all_true(op, lit):
             return np.ones(n, dtype=np.bool_)
-        if op == E.OP_NOT_EQ:
-            if lit is None:
-                return np.zeros(n, dtype=np.bool_)
-            return np.ones(n, dtype=np.bool_)
-        if op in (E.OP_LT, E.OP_LT_EQ, E.OP_GT, E.OP_GT_EQ):
-            return np.zeros(n, dtype=np.bool_)
-        # OpContains etc. fall through to all-match (binaryscalarexpr.go:71)
-        return np.ones(n, dtype=np.bool_)
+        return np.zeros(n, dtype=np.bool_)
 
     if col.kind == KIND_DICT:
         return _dict_mask(col, op, lit)

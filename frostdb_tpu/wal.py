@@ -82,6 +82,7 @@ class FileWAL:
         directory: str,
         sync: bool = True,
         segment_size: int = SEGMENT_MAX_BYTES,
+        repair_counter=None,
     ):
         """sync=True: every entry is fsync'd before the call returns.
         sync=False: entries enqueue to a background batcher thread that
@@ -100,6 +101,9 @@ class FileWAL:
         self._segment_size = 0
         self.repairs = 0
         self.repairs_lost_records = 0
+        # Registry counter mirroring ``repairs`` (reference: repairs_total,
+        # wal/wal.go:216) so repairs surface in MetricsRegistry.expose().
+        self._repair_counter = repair_counter
         self._queue: list[tuple[int, bytes]] = []
         self._cv = threading.Condition()
         self._closing = False
@@ -227,6 +231,11 @@ class FileWAL:
                 self._file.flush()
                 os.fsync(self._file.fileno())
 
+    def _repair(self) -> None:
+        self.repairs += 1
+        if self._repair_counter is not None:
+            self._repair_counter.inc()
+
     # -- replay ------------------------------------------------------------
 
     def replay(
@@ -270,7 +279,7 @@ class FileWAL:
                             f"0x{magic:02X} != 0x{_MAGIC:02X}); refusing to "
                             f"replay/repair — written by another version?"
                         )
-                    self.repairs += 1
+                    self._repair()
                     break
                 (crc,) = _CRC.unpack_from(data, pos + _PREFIX.size)
                 pstart = pos + hsize
@@ -279,7 +288,7 @@ class FileWAL:
                     break
                 payload = data[pstart:pend]
                 if zlib.crc32(prefix + payload) & 0xFFFFFFFF != crc:
-                    self.repairs += 1
+                    self._repair()
                     break
                 pos = pend
                 good_end = pos

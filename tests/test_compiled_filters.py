@@ -244,6 +244,38 @@ def test_or_filters_fall_back():
     assert tracer.roots[0].attributes["path"] == "generic"
 
 
+def test_invalid_regex_literal_falls_back():
+    """An invalid regex literal must raise NotCompilable (not re.error) so
+    the generic engine keeps its semantics: with AND short-circuiting it can
+    complete the query without ever compiling the bad pattern
+    (filter.go:174), and a part lacking the column resolves statically."""
+    _s, db, _t = _mk([dict(p) for p in _PARTS], db_name="rx")
+    # left conjunct is all-false -> generic short-circuits and answers
+    filt = E.And(
+        E.Col("timestamp").lt(-1), E.Col("labels.job").regex_match("(")
+    )
+    fast = _run(db, True, filt)
+    slow = _run(db, False, filt)
+    assert _rows(fast) == _rows(slow) == []
+    # when the bad regex WOULD have to be evaluated, both paths surface the
+    # same user-visible error (the compiled path falls back; the generic
+    # engine raises from _dict_mask)
+    import re
+
+    for compiled in (True, False):
+        with pytest.raises(re.error):
+            _run(db, compiled, E.Col("labels.job").regex_match("("))
+    # direct API: NotCompilable, never re.error
+    q = compile_filter_aggregate(
+        db.get_table("t"),
+        "example_type",
+        [("sum", "value")],
+        filter=("labels.job", E.OP_REGEX_MATCH, "("),
+    )
+    with pytest.raises(NotCompilable):
+        q.execute()
+
+
 def test_non_str_literal_on_dict_column_falls_back():
     _s, _db, table = _mk([dict(p) for p in _PARTS], db_name="x")
     with pytest.raises(NotCompilable):
