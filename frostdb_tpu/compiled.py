@@ -174,6 +174,11 @@ class CompiledFilterAggregate:
     ==/!=/=~/!~/contains/ordering against string literals (and ==/!=
     against null)."""
 
+    # Dense group-code space ceiling: the Pallas one-hot kernel lane-tiles
+    # one accumulator tile per 128 codes. The mesh executor overrides this
+    # (its XLA segment reductions scale to ~1M codes).
+    MAX_CODES = 2048
+
     def __init__(
         self,
         table,
@@ -211,11 +216,14 @@ class CompiledFilterAggregate:
             raise NotCompilable(f"group column {group_col} is not dict-coded")
         fam = group_col.split(".", 1)[0]
         self.dictionary = table.dictionary(fam)
-        if len(self.dictionary) > 2048:
+        if len(self.dictionary) > self.MAX_CODES:
             # The Pallas kernel lane-tiles the code space (one accumulator
             # tile per 128 codes); past ~16 tiles the dense one-hot N*K term
-            # loses to the generic sort-based engine.
-            raise NotCompilable("code space > 2048 (dense one-hot limit)")
+            # loses to the generic sort-based engine. (The mesh executor
+            # overrides MAX_CODES: its segment reductions scale to ~1M.)
+            raise NotCompilable(
+                f"code space > {self.MAX_CODES} (dense group limit)"
+            )
 
         self.aggs = []
         # Distinct value columns in first-use order; each gets its own
@@ -295,20 +303,18 @@ class CompiledFilterAggregate:
 
     # ------------------------------------------------------------------
 
-    def _check_parts(self, parts) -> None:
-        """Host-metadata validation over the visible parts; fills in each
-        value plan's ``(digits, bias, planes)``. All checks read cached
-        per-part ranges / validity flags, never full columns per query.
-
-        ``bias`` is the global raw minimum: the kernel sums ``v - bias``
-        (always non-negative, often far fewer base-128 digits — e.g.
-        nanosecond timestamps) and the exact sum is reconstructed as
-        ``kernel_sum + bias * count``. Shifted spans past one int32 plane
-        split into a 28-bit lo plane and a hi plane (two kernel passes,
-        ``sum = lo + (hi << 28) + bias*count``), admitting spans up to 59
-        bits. float64 columns ride the same path when every visible value
-        is integral and the cumulative magnitude bound keeps both the
-        float64 and int64 sums exact (< 2^53)."""
+    def _check_parts_common(
+        self, parts
+    ) -> dict[str, tuple[Optional[int], Optional[int]]]:
+        """Host-metadata validation over the visible parts, shared by the
+        single-chip compiled path and the mesh executor: null-group-key /
+        column-kind gating, the float-integral + cumulative-magnitude gate
+        (both paths reduce integral float64 columns exactly on the integer
+        path; past 2^53 the float64 sum could round while the integer sum
+        stays exact, so the paths could disagree with the generic engine),
+        and raw (min, max) range collection per value column. All checks
+        read cached per-part ranges / validity flags, never full columns
+        per query."""
         ranges: dict[str, tuple[Optional[int], Optional[int]]] = {
             c: (None, None) for c in self.value_plans
         }
@@ -361,6 +367,19 @@ class CompiledFilterAggregate:
             # Past this bound a float64 sum can round while the int64 sum
             # stays exact — the paths could disagree; use the generic engine.
             raise NotCompilable("float sum magnitude bound exceeds 2^53")
+        return ranges
+
+    def _check_parts(self, parts) -> None:
+        """Common validation plus the kernel digit plan per value column.
+
+        ``bias`` is the global raw minimum: the kernel sums ``v - bias``
+        (always non-negative, often far fewer base-128 digits — e.g.
+        nanosecond timestamps) and the exact sum is reconstructed as
+        ``kernel_sum + bias * count``. Shifted spans past one int32 plane
+        split into a 28-bit lo plane and a hi plane (two kernel passes,
+        ``sum = lo + (hi << 28) + bias*count``), admitting spans up to 59
+        bits."""
+        ranges = self._check_parts_common(parts)
         for plan in self.value_plans.values():
             vmin, vmax = ranges[plan.column]
             plan.bias = 0

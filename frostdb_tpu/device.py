@@ -99,3 +99,63 @@ class DeviceBatch:
     def row_valid_mask(self) -> jax.Array:
         """Mask selecting real (non-padding) rows."""
         return jnp.arange(self.n_pad) < self.n_rows
+
+
+# Process-wide upload accounting (host->HBM transfers of sharded part
+# mirrors) — lets tests assert the mesh scan is incremental: an insert
+# between two queries uploads only the new part's bytes.
+SHARDED_UPLOAD_STATS = {"columns": 0, "bytes": 0}
+
+
+class ShardedDeviceBatch:
+    """Row-sharded device mirror of a host batch over a mesh axis.
+
+    The mesh analogue of ``DeviceBatch``: each column is one [n_pad] array
+    sharded along the mesh axis, rows packed contiguously (part row r lives
+    on shard ``r // per_shard`` at offset ``r % per_shard``), padding rows
+    carry validity False and sit past ``n_rows``. Parts cache one of these
+    per (mesh, axis) — the incremental upload unit of the distributed scan
+    (the role the reference's per-part incremental Scan plays,
+    index/lsm.go:401): a part-set change uploads only the NEW parts'
+    columns, never the whole table.
+    """
+
+    def __init__(self, cb: ColumnBatch, mesh, axis: str):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .config import ROW_TILE
+
+        self.host = cb
+        self.mesh = mesh
+        self.axis = axis
+        self.n_rows = cb.num_rows
+        n_shards = mesh.shape[axis]
+        per = -(-max(cb.num_rows, 1) // n_shards)
+        self.per_shard = ((per + ROW_TILE - 1) // ROW_TILE) * ROW_TILE
+        self.n_pad = self.per_shard * n_shards
+        self.sharding = NamedSharding(mesh, P(axis))
+        self.replicated = NamedSharding(mesh, P())
+        self._cols: dict[str, DeviceColumn] = {}
+
+    def column(self, name: str) -> DeviceColumn | None:
+        dc = self._cols.get(name)
+        if dc is not None:
+            return dc
+        hc = self.host.column(name)
+        if hc is None:
+            return None
+        dtype = _KIND_JNP_DTYPE[hc.kind]
+        vals = np.zeros(self.n_pad, dtype=np.asarray(hc.values).dtype)
+        vals[: self.n_rows] = hc.values
+        valid = np.zeros(self.n_pad, dtype=np.bool_)
+        valid[: self.n_rows] = hc.validity
+        dc = DeviceColumn(
+            hc.name,
+            hc.kind,
+            jax.device_put(np.asarray(vals, dtype=dtype), self.sharding),
+            jax.device_put(valid, self.sharding),
+        )
+        SHARDED_UPLOAD_STATS["columns"] += 1
+        SHARDED_UPLOAD_STATS["bytes"] += vals.nbytes + valid.nbytes
+        self._cols[name] = dc
+        return dc

@@ -32,6 +32,7 @@ class Part:
         self.tx = tx
         self.compaction_level = compaction_level
         self._device: Optional[DeviceBatch] = None
+        self._device_sharded: dict = {}
         self._zone_map: Optional[dict] = None
         self._raw_ranges: dict = {}
         self._code_presence: dict = {}
@@ -51,6 +52,21 @@ class Part:
         if self._device is None:
             self._device = DeviceBatch(self.batch)
         return self._device
+
+    def device_sharded(self, mesh, axis: str):
+        """Cached row-sharded device mirror over a mesh axis — the
+        incremental upload unit of the mesh scan (parallel/mesh_exec.py):
+        each part uploads once per (mesh, axis) and stays HBM-resident
+        until the part itself is dropped (compaction/rotation), so a
+        part-set change re-uploads only the NEW parts."""
+        key = (id(mesh), axis)
+        cache = self._device_sharded
+        sdb = cache.get(key)
+        if sdb is None:
+            from .device import ShardedDeviceBatch
+
+            sdb = cache[key] = ShardedDeviceBatch(self.batch, mesh, axis)
+        return sdb
 
     def raw_range(self, name: str):
         """(min, max) over a column's raw values buffer *including* null

@@ -5,162 +5,136 @@ This is the engine integration of the distributed layer (SURVEY.md §2.8; the
 role the reference's scan fan-out + Synchronizer barriers play,
 physicalplan.go:22,322): when ``ExecOptions(mesh=...)`` is set, the engine
 pattern-matches the optimized plan with ``compiled.match_plan`` and executes
-it as one SPMD program over the mesh —
+it part by part as SPMD programs over the mesh —
 
-  per-shard:   selection mask (filter fused) -> dense per-code partials
-               (segment reductions; the non-final HashAggregate,
-               aggregate.go:124)
+  per-shard:   selection mask (the FULL compiled filter envelope fused:
+               AND conjunctions of full-width int64 compares, dict/string
+               predicates as replicated-LUT gathers, ==/!= null via
+               validity) -> dense per-code partials (segment reductions;
+               the non-final HashAggregate, aggregate.go:124)
   cross-shard: psum / pmin / pmax over the mesh axis (the final-stage
                Synchronizer, synchronize.go:16)
 
 Results are BYTE-IDENTICAL to the generic single-stream engine on any
-device count, including group emission order: every row carries its
-original stream position, the kernel reduces the min selected position per
-code (pmin across shards), and groups emit in that first-occurrence order
-(or key order under ordered_aggregations) — device-count-independent by
-construction.
+device count, including group emission order: each part program reduces the
+exact first selected row per code (pmin across shards), parts accumulate a
+global stream-position minimum on device, and groups emit in that
+first-occurrence order (or key order under ordered_aggregations) —
+device-count-independent by construction.
 
-The table's visible parts are concatenated once per parts-version and kept
-as a row-sharded ``PartitionedTable`` in HBM across queries; the shard_map
-program caches per (mesh, spec signature, shapes) so repeat queries reuse
-the compiled executable.
+Scan state is INCREMENTAL per part (the reference's per-part LSM scan,
+index/lsm.go:401): each immutable part caches one row-sharded device mirror
+per (mesh, axis) (``Part.device_sharded``) that stays HBM-resident until
+the part is dropped by compaction/rotation — an insert between two queries
+uploads only the new part's columns, never the whole table. Partials
+accumulate across parts on device and ONE replicated blob fetches per query.
+
+Value columns reduce natively in int64 (no 32-bit digit envelope): sums,
+min/max over nanosecond-magnitude spans, and integral float64 columns (the
+shared exactness gate, compiled._check_parts_common) all distribute.
 
 Group spaces are dense dictionary codes; the [K] partial tables are XLA
 segment reductions, so K up to ~1M is fine (far past the Pallas one-hot
-path's 2048). Beyond that, fall back to the generic engine (an
-all_to_all repartition path à la shuffle.py would take over at that
-scale; frostdb itself has no distributed execution at all).
+path's 2048). Beyond that, fall back to the generic engine (an all_to_all
+repartition path à la shuffle.py would take over at that scale; frostdb
+itself has no distributed execution at all).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
-from ..columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
-from ..compiled import FastPlanSpec, NotCompilable, emit_output
+from ..columnbatch import KIND_DICT, KIND_INT64
+from ..compiled import CompiledFilterAggregate, NotCompilable, emit_output
 from ..query import expr as E
-from .mesh import PartitionedTable
 
-_ROWID = "__rowid__"
-_MAX_DENSE_CODES = 1 << 20
+# Sentinel for "no selected row yet" stream positions / min partials — the
+# same headroom convention as ops/kernels.ident_like (values past 2^62 fall
+# back to the generic engine, see _execute's range guard).
+_BIG = 2**62
 
-# (mesh, axis, ops, filter_op, num_codes, n_value_cols) -> jitted shard_map
+# (mesh id, axis, static program signature) -> jitted program. Shape/dtype
+# specialization is jax.jit's own cache; this keys the *structure*.
 _PROGRAM_CACHE: dict = {}
 
 
-class MeshFilterAggregate:
-    """One matched query over one table, executed across the mesh."""
+class MeshFilterAggregate(CompiledFilterAggregate):
+    """One matched query over one table, executed across the mesh.
 
-    def __init__(self, spec: FastPlanSpec, mesh, axis: str = "shards"):
-        self.spec = spec
+    Inherits the compiled path's plan validation, part pruning
+    (_filter_parts), dictionary LUTs (_leaf_lut_np) and output emission;
+    only the device execution differs: row-sharded parts, shard_map
+    programs, int64-native reductions.
+    """
+
+    MAX_CODES = 1 << 20
+
+    def __init__(self, spec, mesh, axis: str = "shards"):
+        super().__init__(
+            spec.table,
+            spec.group_col,
+            spec.aggs,
+            spec.filter,
+            spec.output_projection,
+            ordered=spec.ordered,
+            filter_expr=spec.filter_expr,
+        )
         self.mesh = mesh
         self.axis = axis
-        self.table = spec.table
-
-        schema = self.table.schema()
-        gdef = schema.column_by_name(spec.group_col)
-        if gdef is None or gdef.layout.type != "string":
-            raise NotCompilable(
-                f"group column {spec.group_col} is not dict-coded"
-            )
-        fam = spec.group_col.split(".", 1)[0]
-        self.dictionary = self.table.dictionary(fam)
-        if len(self.dictionary) > _MAX_DENSE_CODES:
-            raise NotCompilable("code space too large for dense mesh partials")
-
-        self.aggs: list[tuple[str, str, str]] = []
-        for func, col, result_name in spec.aggs:
-            if func not in (E.AGG_SUM, E.AGG_COUNT, E.AGG_MIN, E.AGG_MAX):
-                raise NotCompilable(f"agg {func} not in mesh set")
-            if func != E.AGG_COUNT:
-                vdef = schema.column_by_name(col)
-                if vdef is not None and vdef.layout.type != "int64":
-                    raise NotCompilable("mesh aggs reduce int columns")
-            self.aggs.append((func, col, result_name))
-        # spec.filter is an AND-conjunction leaf list (compiled.match_plan);
-        # the mesh program fuses a single int comparison — wider filters
-        # fall through to the single-chip compiled path, which handles
-        # conjunctions and dict predicates.
-        self.filter = None
-        if spec.filter:
-            if len(spec.filter) != 1:
-                raise NotCompilable("mesh filter is a single comparison")
-            fcol, fop, lit = spec.filter[0]
-            if fop not in ("<", "<=", ">", ">=", "==", "!="):
-                raise NotCompilable(f"filter op {fop} not comparable")
-            fdef = schema.column_by_name(fcol)
-            if fdef is None or fdef.layout.type != "int64":
-                raise NotCompilable("mesh filters compare int columns")
-            if not isinstance(lit, int) or isinstance(lit, bool):
-                raise NotCompilable("mesh filter literal is not an int")
-            self.filter = (fcol, fop, lit)
+        # A 1-device mesh needs no cross-shard combines — and the tunneled
+        # single-chip TPU terminal only lowers Sum all-reduces, so pmin/pmax
+        # must not appear in its programs (CLAUDE.md environment notes).
+        self.trivial = mesh.shape[axis] == 1
 
     # ------------------------------------------------------------------
 
-    def _needed_columns(self) -> list[str]:
-        cols = [self.spec.group_col]
-        for func, col, _name in self.aggs:
-            if func != E.AGG_COUNT and col not in cols:
-                cols.append(col)
-            # count(col) needs the column only for its own existence; the
-            # generic engine counts selected rows of the part stream, so
-            # the group/filter masks suffice.
-        if self.filter is not None and self.filter[0] not in cols:
-            cols.append(self.filter[0])
-        return cols
+    def _leaf_lut_mesh(self, idx: int):
+        """Replicated device LUT for one dict leaf (the compiled path's
+        _leaf_lut_dev, placed with a mesh-replicated sharding)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def _partitioned(self, parts) -> PartitionedTable:
-        """Row-sharded device table of the visible parts, cached per
-        parts-version on the table (rebuilt only when the visible part set
-        changes — insert/compaction/rotation)."""
-        needed = tuple(self._needed_columns())
-        key = (
-            id(self.mesh),
-            self.axis,
-            needed,
-            tuple(id(p) for p in parts),
-        )
-        cache = getattr(self.table, "_mesh_tables", None)
+        cache = getattr(self, "_lut_mesh_cache", None)
         if cache is None:
-            cache = self.table._mesh_tables = {}
-        pt = cache.get(key)
-        if pt is not None:
-            return pt
-
-        from ..query.physical import unify_concat
-
-        merged = unify_concat([p.batch for p in parts])
-        n = merged.num_rows
-        cols = []
-        for name in needed:
-            c = merged.column(name)
-            if c is None:
-                raise NotCompilable(f"parts lack column {name}")
-            if name == self.spec.group_col and not c.validity.all():
-                # The generic engine emits a null-key group; fall back.
-                raise NotCompilable("null group keys (generic engine path)")
-            cols.append(c)
-        cols.append(
-            Column(
-                _ROWID,
-                KIND_INT64,
-                np.arange(n, dtype=np.int64),
-                np.ones(n, dtype=bool),
+            cache = self._lut_mesh_cache = {}
+        leaf = self.filters[idx]
+        key = (idx, len(leaf.dictionary))
+        lut = cache.get(key)
+        if lut is None:
+            lut_np = self._leaf_lut_np(idx)
+            lut = jax.device_put(
+                lut_np, NamedSharding(self.mesh, P())
             )
-        )
-        pt = PartitionedTable.from_batch(
-            ColumnBatch(cols, n), self.mesh, self.axis
-        )
-        cache.clear()  # one live partitioning per table keeps HBM bounded
-        cache[key] = pt
-        return pt
+            cache[key] = lut
+        return lut
 
-    def _program(self, num_codes: int, n_pad: int):
-        ops = tuple(func for func, _c, _n in self.aggs)
-        fop = self.filter[1] if self.filter is not None else None
-        key = (id(self.mesh), self.axis, ops, fop, num_codes, n_pad)
+    def _part_signature(self, part) -> tuple:
+        """Static program structure for one part: which filter leaves are
+        present (missing dynamic columns resolve statically — all-false
+        parts were dropped by _filter_parts, all-true leaves are no-ops),
+        plus the aggregation op list."""
+        leaves = []
+        for leaf in self.filters:
+            if part.batch.column(leaf.column) is None:
+                leaves.append(None)
+            elif leaf.kind == "int":
+                leaves.append(("int", leaf.op))
+            elif leaf.lit is None:
+                leaves.append(("nulllit", leaf.op))
+            else:
+                leaves.append(("dict",))
+        ops = tuple(
+            (spec.func, self.value_plans[spec.column].is_float)
+            if spec.func != E.AGG_COUNT
+            else (E.AGG_COUNT, False)
+            for spec in self.aggs
+        )
+        return (tuple(leaves), ops)
+
+    def _program(self, sig: tuple, num_codes: int, per_shard: int):
+        key = (id(self.mesh), self.axis, sig, num_codes, self.trivial)
         prog = _PROGRAM_CACHE.get(key)
         if prog is not None:
             return prog
@@ -171,80 +145,143 @@ class MeshFilterAggregate:
 
         from ..ops import kernels as K
 
+        leaves, ops = sig
         axis = self.axis
-        has_filter = fop is not None
-        # A 1-device mesh needs no cross-shard combines — and the tunneled
-        # single-chip TPU terminal only lowers Sum all-reduces, so pmin/pmax
-        # must not appear in its programs (CLAUDE.md environment notes).
-        trivial = self.mesh.shape[axis] == 1
+        trivial = self.trivial
         psum = (lambda x, a: x) if trivial else jax.lax.psum
         pmin = (lambda x, a: x) if trivial else jax.lax.pmin
         pmax = (lambda x, a: x) if trivial else jax.lax.pmax
 
         def step(*xs):
-            # xs layout: codes, gvalid, rowid, rowvalid,
-            #            [fvals, fvalid, flit], then per-agg (vals, valid)
-            codes, gvalid, rowid, rowvalid = xs[:4]
-            i = 4
-            sel = gvalid & rowvalid
-            if has_filter:
-                fv, fvalid, flit = xs[i], xs[i + 1], xs[i + 2]
-                i += 3
-                sel = sel & fvalid & K.compare_scalar_mask(
-                    fv, fvalid, flit, fop
+            # xs layout: n, gcodes, gvalid, then per present leaf
+            # (int: fvals,fvalid,lit | nulllit: fvalid | dict: fcodes,
+            # fvalid,lut), then per non-count agg (vals, vvalid).
+            n, gcodes, gvalid = xs[0], xs[1], xs[2]
+            i = 3
+            m = gcodes.shape[0]
+            if trivial:
+                rows = jnp.arange(m, dtype=jnp.int64)
+            else:
+                rows = (
+                    jax.lax.axis_index(axis).astype(jnp.int64) * m
+                    + jnp.arange(m, dtype=jnp.int64)
                 )
-            c32 = codes.astype(jnp.int32)
-            outs = []
-            for op in ops:
-                v, _vvalid = xs[i], xs[i + 1]
-                i += 2
-                if op == K.AGG_COUNT:
-                    v = jnp.ones_like(rowid)
-                partial = K.dense_group_reduce(c32, v, sel, num_codes, op)
-                if op in (K.AGG_SUM, K.AGG_COUNT):
-                    outs.append(psum(partial, axis))
-                elif op == K.AGG_MIN:
-                    outs.append(pmin(partial, axis))
+            sel = gvalid & (rows < n)
+            for leaf_sig in leaves:
+                if leaf_sig is None:
+                    continue
+                if leaf_sig[0] == "int":
+                    fv, fvalid, lit = xs[i], xs[i + 1], xs[i + 2]
+                    i += 3
+                    # Full-width int64 compare (x64 i64 is exact on TPU).
+                    op = leaf_sig[1]
+                    cmp = {
+                        "<": fv < lit,
+                        "<=": fv <= lit,
+                        ">": fv > lit,
+                        ">=": fv >= lit,
+                        "==": fv == lit,
+                        "!=": fv != lit,
+                    }[op]
+                    sel = sel & cmp & fvalid
+                elif leaf_sig[0] == "nulllit":
+                    # == null selects invalid slots, != null valid ones
+                    # (binaryscalarexpr.go:205).
+                    fvalid = xs[i]
+                    i += 1
+                    sel = sel & (
+                        fvalid if leaf_sig[1] == E.OP_NOT_EQ else ~fvalid
+                    )
                 else:
-                    outs.append(pmax(partial, axis))
+                    fcodes, fvalid, lut = xs[i], xs[i + 1], xs[i + 2]
+                    i += 3
+                    sel = sel & jnp.take(lut, fcodes, mode="clip") & fvalid
+            c32 = gcodes.astype(jnp.int32)
+            ones = jnp.ones(m, dtype=jnp.int64)
             counts = psum(
-                K.dense_group_reduce(
-                    c32, jnp.ones_like(rowid), sel, num_codes, K.AGG_COUNT
-                ),
+                K.dense_group_reduce(c32, ones, sel, num_codes, K.AGG_COUNT),
                 axis,
             )
             first = pmin(
-                K.dense_group_reduce(c32, rowid, sel, num_codes, K.AGG_MIN),
+                K.dense_group_reduce(c32, rows, sel, num_codes, K.AGG_MIN),
                 axis,
             )
-            # Single replicated blob: one device->host fetch per query.
-            return jnp.concatenate(
-                [o.astype(jnp.int64) for o in outs] + [counts, first]
-            )
+            outs = [counts, first]
+            for func, _is_float in ops:
+                if func == E.AGG_COUNT:
+                    outs.append(counts)
+                    continue
+                v, _vvalid = xs[i], xs[i + 1]
+                i += 2
+                v = v.astype(jnp.int64)  # integral floats ride the int path
+                partial = K.dense_group_reduce(c32, v, sel, num_codes, func)
+                if func == K.AGG_SUM:
+                    outs.append(psum(partial, axis))
+                elif func == K.AGG_MIN:
+                    outs.append(pmin(partial, axis))
+                else:
+                    outs.append(pmax(partial, axis))
+            return tuple(outs)
 
         if trivial:
             # 1-device mesh: the full array IS the shard; plain jit avoids
             # shard_map's replication inference on identity "collectives".
             prog = jax.jit(step)
         else:
-            n_in = 4 + (3 if has_filter else 0) + 2 * len(ops)
-            in_specs = [P(axis)] * n_in
-            if has_filter:
-                in_specs[6] = P()  # the literal is replicated
+            n_in = 3
+            in_specs = [P(), P(axis), P(axis)]
+            for leaf_sig in leaves:
+                if leaf_sig is None:
+                    continue
+                if leaf_sig[0] == "int":
+                    in_specs += [P(axis), P(axis), P()]
+                elif leaf_sig[0] == "nulllit":
+                    in_specs += [P(axis)]
+                else:
+                    in_specs += [P(axis), P(axis), P()]
+            for func, _is_float in ops:
+                if func != E.AGG_COUNT:
+                    in_specs += [P(axis), P(axis)]
+            n_out = 2 + len(ops)
             prog = jax.jit(
                 jax.shard_map(
                     step,
                     mesh=self.mesh,
                     in_specs=tuple(in_specs),
-                    out_specs=P(),
+                    out_specs=tuple([P()] * n_out),
                 )
             )
         _PROGRAM_CACHE[key] = prog
         return prog
 
+    def _part_args(self, part, sp) -> list:
+        """Flat argument list matching ``_part_signature``'s layout."""
+        import jax.numpy as jnp
+
+        g = sp.column(self.group_col)
+        args = [jnp.asarray(part.batch.num_rows, jnp.int64), g.data, g.validity]
+        for i, leaf in enumerate(self.filters):
+            f = sp.column(leaf.column)
+            if f is None:
+                continue
+            if leaf.kind == "int":
+                args += [f.data, f.validity, jnp.asarray(leaf.lit, jnp.int64)]
+            elif leaf.lit is None:
+                args += [f.validity]
+            else:
+                args += [f.data, f.validity, self._leaf_lut_mesh(i)]
+        for spec in self.aggs:
+            if spec.func == E.AGG_COUNT:
+                continue
+            v = sp.column(spec.column)
+            if v is None:
+                raise NotCompilable(f"part lacks {spec.column}")
+            args += [v.data, v.validity]
+        return args
+
     # ------------------------------------------------------------------
 
-    def execute(self) -> ColumnBatch:
+    def _execute(self):
         import jax.numpy as jnp
 
         from ..table import SourceWithoutBlockAPI
@@ -258,56 +295,97 @@ class MeshFilterAggregate:
             parts = self.table.collect_parts(tx, include_sources=True)
         except SourceWithoutBlockAPI:
             raise NotCompilable("a data source lacks the block API")
+        parts = self._filter_parts(parts)
         num_codes = max(len(self.dictionary), 1)
+        ranges = self._check_parts_common(parts)
+        for plan in self.value_plans.values():
+            vmin, vmax = ranges.get(plan.column, (None, None))
+            if plan.need_minmax and vmax is not None:
+                if vmax >= _BIG or vmin <= -_BIG:
+                    # Values past the segment-reduction identity headroom
+                    # (ops/kernels.ident_like) — generic engine territory.
+                    raise NotCompilable("min/max values near int64 sentinel")
+
+        result_names = [spec.result_name for spec in self.aggs]
         if not parts:
             return emit_output(
-                self.spec.group_col,
+                self.group_col,
                 self.dictionary,
                 np.asarray([], dtype=np.int64),
-                [n for _f, _c, n in self.aggs],
-                {n: np.zeros(num_codes, np.int64) for _f, _c, n in self.aggs},
-                self.spec.output_projection,
+                result_names,
+                {n: np.zeros(num_codes, np.int64) for n in result_names},
+                self.output_projection,
             )
 
-        pt = self._partitioned(parts)
-        g = pt.column(self.spec.group_col)
-        rid = pt.column(_ROWID)
-        args = [g.data, g.validity, rid.data, rid.validity]
-        if self.filter is not None:
-            fcol, _fop, lit = self.filter
-            f = pt.column(fcol)
-            args += [f.data, f.validity, jnp.asarray(lit, jnp.int64)]
-        for func, col, _name in self.aggs:
-            c = pt.column(col if func != E.AGG_COUNT else _ROWID)
-            args += [c.data, c.validity]
+        counts_total = jnp.zeros((num_codes,), jnp.int64)
+        global_first = jnp.full((num_codes,), _BIG, jnp.int64)
+        acc: dict[str, Optional[object]] = {n: None for n in result_names}
+        offset = 0
+        for p in parts:
+            sp = p.device_sharded(self.mesh, self.axis)
+            sig = self._part_signature(p)
+            prog = self._program(sig, num_codes, sp.per_shard)
+            outs = prog(*self._part_args(p, sp))
+            counts_p, first_p = outs[0], outs[1]
+            counts_total = counts_total + counts_p
+            global_first = jnp.minimum(
+                global_first,
+                jnp.where(
+                    counts_p > 0, first_p + jnp.int64(offset), jnp.int64(_BIG)
+                ),
+            )
+            for spec, out_p in zip(self.aggs, outs[2:]):
+                name = spec.result_name
+                prev = acc[name]
+                if spec.func in (E.AGG_SUM, E.AGG_COUNT):
+                    acc[name] = out_p if prev is None else prev + out_p
+                elif spec.func == E.AGG_MIN:
+                    acc[name] = (
+                        out_p if prev is None else jnp.minimum(prev, out_p)
+                    )
+                else:
+                    acc[name] = (
+                        out_p if prev is None else jnp.maximum(prev, out_p)
+                    )
+            offset += p.batch.num_rows
 
-        prog = self._program(num_codes, pt.n_pad)
-        blob = np.asarray(prog(*args))
-
-        off = 0
+        # ONE device->host fetch for the whole query (each fetch is a full
+        # ~25 ms RTT sync through the axon tunnel).
+        blob = np.asarray(
+            jnp.concatenate(
+                [counts_total, global_first]
+                + [acc[n] for n in result_names]
+            )
+        )
+        counts_np = blob[:num_codes]
+        first_np = blob[num_codes : 2 * num_codes]
         by_name: dict[str, np.ndarray] = {}
-        for _func, _col, name in self.aggs:
-            by_name[name] = blob[off : off + num_codes]
-            off += num_codes
-        counts = blob[off : off + num_codes]
-        off += num_codes
-        first = blob[off : off + num_codes]
+        for j, name in enumerate(result_names):
+            vals = blob[(2 + j) * num_codes : (3 + j) * num_codes]
+            spec = self.aggs[j]
+            if (
+                spec.func != E.AGG_COUNT
+                and self.value_plans[spec.column].is_float
+            ):
+                vals = vals.astype(np.float64)
+            by_name[name] = vals
 
-        present = np.nonzero(counts > 0)[0]
-        order_arr = present[np.argsort(first[present], kind="stable")]
-        if self.spec.ordered and len(order_arr):
+        # Group emission order = first occurrence among selected rows of the
+        # concatenated part stream (matching kernels.group_ids); each row
+        # has exactly one code so stream positions are distinct.
+        present = np.nonzero(counts_np > 0)[0]
+        order_arr = present[np.argsort(first_np[present], kind="stable")]
+        if self.ordered and len(order_arr):
             ranks = self.dictionary.sort_ranks()
-            order_arr = order_arr[
-                np.argsort(ranks[order_arr], kind="stable")
-            ]
+            order_arr = order_arr[np.argsort(ranks[order_arr], kind="stable")]
 
         return emit_output(
-            self.spec.group_col,
+            self.group_col,
             self.dictionary,
             order_arr.astype(np.int64),
-            [n for _f, _c, n in self.aggs],
+            result_names,
             by_name,
-            self.spec.output_projection,
+            self.output_projection,
         )
 
 
