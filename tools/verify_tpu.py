@@ -158,6 +158,44 @@ def _c4(rng):
     return db, [E.Sum(E.Col("value")), E.Count(E.Col("value"))], None, False
 
 
+@case("wide-span min/max (two-plane lexicographic, ns timestamps)")
+def _c4b(rng):
+    base = 1_755_000_000_000_000_000
+
+    def maker(rng, n):
+        return [
+            (
+                "value",
+                "int64",
+                base + rng.integers(0, 2**40, n).astype(np.int64),
+            )
+        ]
+
+    from frostdb_tpu.query import expr as E
+
+    db, _ = _mk_table(rng, 3, 2000, maker)
+    aggs = [
+        E.Min(E.Col("value")),
+        E.Max(E.Col("value")),
+        E.Sum(E.Col("value")),
+    ]
+    return db, aggs, E.Col("timestamp").gt_eq(20), False
+
+
+@case("wide-span min/max hi-plane ties across parts")
+def _c4c(rng):
+    def maker(rng, n):
+        hi = rng.integers(0, 4, n).astype(np.int64)
+        lo = rng.integers(0, 2**28, n).astype(np.int64)
+        return [("value", "int64", (hi << 33) + lo)]
+
+    from frostdb_tpu.query import expr as E
+
+    db, _ = _mk_table(rng, 4, 1500, maker)
+    aggs = [E.Min(E.Col("value")), E.Max(E.Col("value"))]
+    return db, aggs, None, False
+
+
 @case("multiple value columns")
 def _c5(rng):
     def maker(rng, n):
