@@ -388,6 +388,65 @@ def take(vals, indices):
 # stance: hash aggregate as dense per-chip table + two-phase psum).
 
 
+@functools.partial(jax.jit, static_argnames=("num_codes", "ops"))
+def sorted_group_reduce(codes, sel, rows, vals, num_codes: int, ops: tuple):
+    """Dense [num_codes] group reduction via sort + prefix sums — the
+    large-K path. XLA lowers unsorted segment reductions to scatter, which
+    serializes on TPU; past a few thousand codes one sort of the rows plus
+    gather-based segment boundaries (searchsorted) beats it by orders of
+    magnitude (the classic sort-based GPU/TPU group-by; plays the role of
+    aggregate.go's unbounded group map).
+
+    codes [N] int32, sel [N] bool, rows [N] int64 stream positions,
+    vals: tuple of [N] int64 value vectors, ops: per-val AGG_SUM/MIN/MAX.
+
+    Returns (counts [K] i64, first [K] i64 with 2^62 sentinel, outs tuple):
+    - sums are differences of int64 prefix sums — exact under int64
+      wrap-around (differences of wrapped prefixes equal the true segment
+      sum mod 2^64, matching the generic engine's wrapping adds);
+    - min/max ride one extra sort per column keyed (code, value): the
+      segment's first/last element is its extreme. Sentinels match
+      ident_like (+/-2^62).
+    """
+    n = codes.shape[0]
+    key = jnp.where(sel, codes, jnp.int32(num_codes))
+    minmax_idx = [i for i, op in enumerate(ops) if op in (AGG_MIN, AGG_MAX)]
+    sum_idx = [i for i, op in enumerate(ops) if op == AGG_SUM]
+    operands = (key, rows) + tuple(vals[i] for i in sum_idx)
+    sorted_ = jax.lax.sort(operands, num_keys=2)
+    key_s, rows_s = sorted_[0], sorted_[1]
+    ks = jnp.arange(num_codes, dtype=key.dtype)
+    start = jnp.searchsorted(key_s, ks, side="left")
+    end = jnp.searchsorted(key_s, ks, side="right")
+    counts = (end - start).astype(jnp.int64)
+    first = jnp.where(
+        counts > 0,
+        jnp.take(rows_s, jnp.minimum(start, n - 1)),
+        _INT64_BIG,
+    )
+    outs: list = [None] * len(ops)
+    for i, si in enumerate(sum_idx):
+        v_s = sorted_[2 + i]
+        ps = jnp.cumsum(jnp.where(key_s < num_codes, v_s, jnp.int64(0)))
+        ps0 = jnp.concatenate([jnp.zeros((1,), ps.dtype), ps])
+        outs[si] = jnp.take(ps0, end) - jnp.take(ps0, start)
+    for i in minmax_idx:
+        k2, v2 = jax.lax.sort((key, vals[i]), num_keys=2)
+        if ops[i] == AGG_MIN:
+            outs[i] = jnp.where(
+                counts > 0,
+                jnp.take(v2, jnp.minimum(start, n - 1)),
+                _INT64_BIG,
+            )
+        else:
+            outs[i] = jnp.where(
+                counts > 0,
+                jnp.take(v2, jnp.maximum(end - 1, 0)),
+                -_INT64_BIG,
+            )
+    return counts, first, tuple(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("num_codes", "op"))
 def dense_group_reduce(codes, vals, sel, num_codes: int, op: str):
     """Per-code reduction into a dense [num_codes] table."""

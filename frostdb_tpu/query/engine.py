@@ -140,6 +140,22 @@ class LocalQueryBuilder:
                 return
             except NotCompilable:
                 pass
+            # Dense tier: the same matched shape past the one-hot kernel's
+            # envelope (large code spaces, huge min/max spans) runs as int64
+            # segment reductions over the cached device parts — still
+            # device-resident, still byte-identical (mesh_exec.
+            # DenseLocalAggregate); NotCompilable falls to the generic DAG.
+            from ..parallel.mesh_exec import lower_plan_dense
+
+            try:
+                out = lower_plan_dense(plan, self.engine.exec_options).execute()
+                if root_span is not None:
+                    root_span.attributes["path"] = "dense"
+                if out.num_rows > 0:
+                    callback(out)
+                return
+            except NotCompilable:
+                pass
         with _span("physical/build"):
             output = build_physical(plan, self.engine.exec_options)
         if root_span is not None:

@@ -218,6 +218,26 @@ def test_mesh_engine_ordered_aggregations():
     assert keys == sorted(keys) and len(keys) == 9
 
 
+def test_mesh_large_code_space_sorted_reduce():
+    """K past the sorted-reduction threshold distributes too: the per-shard
+    sort + prefix-sum reduction runs inside shard_map, psum-combined —
+    byte-identical to the generic engine."""
+    store, db, table = _setup(n_parts=2, rows=9000, n_groups=6000)
+    q = lambda b: b.filter(E.Col("timestamp").gt(100)).aggregate(
+        [
+            E.Sum(E.Col("value")),
+            E.Count(E.Col("value")),
+            E.Min(E.Col("value")),
+            E.Max(E.Col("value")),
+        ],
+        [E.Col("labels.label1")],
+    )
+    generic = _run(db, ExecOptions(compiled_serving=False), q)
+    mesh8 = _run(db, ExecOptions(mesh=make_mesh(8)), q)
+    assert len(generic) > 4096
+    assert mesh8 == generic
+
+
 def test_mesh_engine_falls_back_on_unsupported():
     """Distinct queries don't match the fast shape; the mesh engine must
     fall back to the generic DAG and still answer."""
