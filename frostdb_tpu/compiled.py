@@ -136,6 +136,18 @@ _DICT_FILTER_OPS = (
 
 
 @dataclass
+class _GroupCol:
+    """One group-key column's code plan: the (possibly remapped) per-column
+    code space that multiplies into the combined dense key."""
+
+    name: str
+    dictionary: object
+    remap: Optional[np.ndarray] = None  # family code -> compact, or None
+    inv: Optional[np.ndarray] = None  # compact -> family code
+    k: int = 0  # per-column code count (len(inv) or len(dictionary))
+
+
+@dataclass
 class _ValuePlan:
     """Per-value-column kernel plan computed from part metadata."""
 
@@ -207,18 +219,34 @@ class CompiledFilterAggregate:
         import jax
 
         self.table = table
-        self.group_col = group_col
+        # 1 or 2 dict-coded group columns; two columns combine into one
+        # dense pair-code space (compact per-column remaps multiplied
+        # together) so (example_type, labels.x) group-bys stay fast.
+        self.group_cols: list[str] = (
+            [group_col] if isinstance(group_col, str) else list(group_col)
+        )
+        if not 1 <= len(self.group_cols) <= 2:
+            raise NotCompilable("compiled path groups by 1 or 2 columns")
+        self.group_col = self.group_cols[0]
         self.on_tpu = jax.default_backend() == "tpu"
 
         schema = table.schema()
-        gdef = schema.column_by_name(group_col)
-        if gdef is None or gdef.layout.type != "string":
-            raise NotCompilable(f"group column {group_col} is not dict-coded")
-        fam = group_col.split(".", 1)[0]
-        self.dictionary = table.dictionary(fam)
-        # NB: no code-space gate here — the group column's effective code
+        self.group_dicts = []
+        for gc in self.group_cols:
+            gdef = schema.column_by_name(gc)
+            if gdef is None or gdef.layout.type != "string":
+                raise NotCompilable(f"group column {gc} is not dict-coded")
+            fam = gc.split(".", 1)[0]
+            self.group_dicts.append(table.dictionary(fam))
+        self.dictionary = self.group_dicts[0]
+        # NB: no code-space gate here — the group columns' effective code
         # count is a property of the visible parts (code-presence sets),
-        # decided per execute() by _group_remap.
+        # decided per execute() by _group_remap (which replaces this
+        # direct-code default).
+        self._gplan = [
+            _GroupCol(gc, d, k=max(len(d), 1))
+            for gc, d in zip(self.group_cols, self.group_dicts)
+        ]
 
         self.aggs = []
         # Distinct value columns in first-use order; each gets its own
@@ -315,13 +343,14 @@ class CompiledFilterAggregate:
         }
         float_bound = 0
         for p in parts:
-            g = p.batch.column(self.group_col)
-            if g is None:
-                raise NotCompilable(f"part lacks {self.group_col}")
-            if not g.validity.all():
-                # The generic engine emits a null-key group for these rows
-                # (kernels.group_ids keys on validity); fall back.
-                raise NotCompilable("null group keys (generic engine path)")
+            for gc in self.group_cols:
+                g = p.batch.column(gc)
+                if g is None:
+                    raise NotCompilable(f"part lacks {gc}")
+                if not g.validity.all():
+                    # The generic engine emits a null-key group for these
+                    # rows (kernels.group_ids keys on validity); fall back.
+                    raise NotCompilable("null group keys (generic engine path)")
             for plan in self.value_plans.values():
                 c = p.batch.column(plan.column)
                 if c is None:
@@ -409,48 +438,73 @@ class CompiledFilterAggregate:
     # label family group-by on the Pallas path again.
     REMAP_THRESHOLD = 2048
 
-    def _group_remap(self, parts):
-        """(remap, inv) compact code mapping for the group column, or None
-        when family codes are directly usable. ``remap[family_code] ->
-        compact_code`` (length = family dictionary), ``inv[compact] ->
-        family_code``; applied as one device gather per row. Raises
-        NotCompilable when even the compact count exceeds MAX_CODES."""
-        if len(self.dictionary) <= self.REMAP_THRESHOLD:
-            if len(self.dictionary) > self.MAX_CODES:
-                raise NotCompilable(
-                    f"code space > {self.MAX_CODES} (dense group limit)"
-                )
-            return None
+    def _col_presence(self, parts, name: str) -> np.ndarray:
         pres: Optional[np.ndarray] = None
         for p in parts:
-            cp = p.code_presence(self.group_col)
+            cp = p.code_presence(name)
             if cp is None:
-                raise NotCompilable("group column lacks code presence")
+                raise NotCompilable(f"{name} lacks code presence")
             pres = cp if pres is None else np.union1d(pres, cp)
-        if pres is None:
-            pres = np.zeros(0, dtype=np.int64)
-        if len(pres) > self.MAX_CODES:
-            raise NotCompilable(
-                f"group column has {len(pres)} distinct codes "
-                f"(> {self.MAX_CODES})"
-            )
-        remap = np.zeros(max(len(self.dictionary), 1), dtype=np.int32)
-        remap[pres] = np.arange(len(pres), dtype=np.int32)
-        return remap, pres.astype(np.int64)
+        return pres if pres is not None else np.zeros(0, dtype=np.int64)
 
-    def _remap_dev(self, remap: np.ndarray, inv: np.ndarray):
+    def _group_remap(self, parts) -> tuple[list[_GroupCol], int]:
+        """Per-group-column code plans + the combined dense code count.
+
+        A single group column uses family codes directly while the family
+        dictionary is small; past REMAP_THRESHOLD (and always for the
+        two-column pair space, whose size is the per-column product) codes
+        remap through compact per-column LUTs built from the parts'
+        code-presence sets. Raises NotCompilable when the combined count
+        exceeds MAX_CODES."""
+        cols: list[_GroupCol] = []
+        for gc, d in zip(self.group_cols, self.group_dicts):
+            if len(self.group_cols) == 1 and len(d) <= self.REMAP_THRESHOLD:
+                cols.append(_GroupCol(gc, d, k=max(len(d), 1)))
+                continue
+            pres = self._col_presence(parts, gc)
+            remap = np.zeros(max(len(d), 1), dtype=np.int32)
+            remap[pres] = np.arange(len(pres), dtype=np.int32)
+            cols.append(
+                _GroupCol(
+                    gc,
+                    d,
+                    remap=remap,
+                    inv=pres.astype(np.int64),
+                    k=max(len(pres), 1),
+                )
+            )
+        num_codes = 1
+        for c in cols:
+            num_codes *= c.k
+        if num_codes > self.MAX_CODES:
+            raise NotCompilable(
+                f"group code space {num_codes} > {self.MAX_CODES}"
+            )
+        return cols, num_codes
+
+    def _remap_dev(self, gcol: _GroupCol):
         """Device-resident remap LUT, cached per (dictionary, presence)
         version — presence can grow between queries without the family
         dictionary growing (a new part using existing values)."""
         import jax.numpy as jnp
 
-        key = (len(remap), hash(inv.tobytes()))
-        cached = getattr(self, "_remap_dev_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        dev = jnp.asarray(remap)
-        self._remap_dev_cache = (key, dev)
+        key = (gcol.name, len(gcol.remap), hash(gcol.inv.tobytes()))
+        cache = getattr(self, "_remap_dev_cache", None)
+        if cache is None:
+            cache = self._remap_dev_cache = {}
+        hit = cache.get(gcol.name)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        dev = self._put_replicated(gcol.remap)
+        cache[gcol.name] = (key, dev)
         return dev
+
+    def _put_replicated(self, arr: np.ndarray):
+        """Hook: where LUT-like constants live (mesh overrides with a
+        mesh-replicated placement)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(arr)
 
     def _filter_parts(self, parts) -> list:
         """Drop parts that provably contain no selected rows before any
@@ -550,22 +604,32 @@ class CompiledFilterAggregate:
 
         return pad2d
 
-    def _codes_sel(self, part, remap=None):
+    def _codes_sel(self, part, gplan: list[_GroupCol]):
         """Device (codes, sel) planes for one part in kernel layout, via the
-        part's cached device batch. ``remap`` (a device LUT) compacts family
-        codes to the per-column code space (one gather per row)."""
+        part's cached device batch. Group codes are the combined dense key:
+        per-column (possibly remap-gathered) codes multiplied into one
+        space (``c0 * k1 + c1`` for the pair case)."""
         import jax.numpy as jnp
 
         dev = part.device()
-        g = dev.column(self.group_col)
-        if g is None:
-            raise NotCompilable(f"part lacks {self.group_col}")
         pad2d = self._pad2d(dev)
-        gcodes = g.data.astype(jnp.int32)
-        if remap is not None:
-            gcodes = jnp.take(remap, gcodes, mode="clip")
-        codes = pad2d(gcodes)
-        gvalid = pad2d(g.validity.astype(jnp.int32))
+        combined = None
+        gvalid_all = None
+        for gcol in gplan:
+            g = dev.column(gcol.name)
+            if g is None:
+                raise NotCompilable(f"part lacks {gcol.name}")
+            c = g.data.astype(jnp.int32)
+            if gcol.remap is not None:
+                c = jnp.take(self._remap_dev(gcol), c, mode="clip")
+            combined = c if combined is None else combined * gcol.k + c
+            gvalid_all = (
+                g.validity
+                if gvalid_all is None
+                else gvalid_all & g.validity
+            )
+        codes = pad2d(combined)
+        gvalid = pad2d(gvalid_all.astype(jnp.int32))
         row_valid = pad2d(dev.row_valid_mask().astype(jnp.int32))
         sel = row_valid * gvalid
         for i, leaf in enumerate(self.filters):
@@ -634,8 +698,9 @@ class CompiledFilterAggregate:
         """The kernel's selection mask recomputed host-side over rows
         [lo, hi) of a part — used only to break first-occurrence ties
         within a single superblock."""
-        g = part.batch.column(self.group_col)
-        sel = g.validity[lo:hi].copy()
+        sel = np.ones(hi - lo, dtype=np.bool_)
+        for gcol in self._gplan:
+            sel &= part.batch.column(gcol.name).validity[lo:hi]
         for i, leaf in enumerate(self.filters):
             f = part.batch.column(leaf.column)
             if f is None:
@@ -661,22 +726,41 @@ class CompiledFilterAggregate:
                 sel &= lut[codes] & fvalid
         return sel
 
+    def _decode_codes(self, codes: np.ndarray) -> list[np.ndarray]:
+        """Combined dense codes -> per-group-column FAMILY codes."""
+        gplan = self._gplan
+        out = []
+        rest = np.asarray(codes, dtype=np.int64)
+        for i, gcol in enumerate(gplan):
+            div = 1
+            for later in gplan[i + 1 :]:
+                div *= later.k
+            c = (rest // div) % gcol.k
+            fam = gcol.inv[c] if gcol.inv is not None else c
+            out.append(fam.astype(np.int64))
+        return out
+
     def _rank_ties(self, part, super_idx: int, codes_needed) -> dict:
         """Exact first selected row (global within the part) for each code
         whose first selected superblock is ``super_idx``. Codes are in the
-        kernel's (possibly remapped) space; host values are family codes."""
+        kernel's combined (possibly remapped) space; host values are family
+        codes per group column."""
         from .ops.pallas_agg import ROWS_PER_SUPER
 
         lo = super_idx * ROWS_PER_SUPER
         hi = min(lo + ROWS_PER_SUPER, part.batch.num_rows)
-        g = part.batch.column(self.group_col)
-        gv = g.values[lo:hi]
+        gvs = [
+            part.batch.column(gcol.name).values[lo:hi]
+            for gcol in self._gplan
+        ]
         sel = self._host_sel(part, lo, hi)
-        inv = getattr(self, "_inv", None)
         ranks = {}
         for k in codes_needed:
-            fam = int(inv[k]) if inv is not None else k
-            idx = np.nonzero(sel & (gv == fam))[0]
+            fams = self._decode_codes(np.asarray([k]))
+            m = sel.copy()
+            for gv, fam in zip(gvs, fams):
+                m &= gv == fam[0]
+            idx = np.nonzero(m)[0]
             ranks[k] = lo + int(idx[0])
         return ranks
 
@@ -764,12 +848,7 @@ class CompiledFilterAggregate:
             raise NotCompilable("a data source lacks the block API")
         parts = self._filter_parts(parts)
         self._check_parts(parts)
-        rm = self._group_remap(parts)
-        self._inv = rm[1] if rm is not None else None
-        remap_dev = self._remap_dev(*rm) if rm is not None else None
-        num_codes = (
-            len(rm[1]) if rm is not None else len(self.dictionary)
-        ) or 1
+        self._gplan, num_codes = self._group_remap(parts)
         plans = list(self.value_plans.values())
 
         counts = jnp.zeros((num_codes,), jnp.int64)
@@ -803,7 +882,7 @@ class CompiledFilterAggregate:
         per_part_counts = []
         per_part_first = []
         for p in parts:
-            codes, sel = self._codes_sel(p, remap_dev)
+            codes, sel = self._codes_sel(p, self._gplan)
             flat_codes = codes.reshape(-1)
             flat_sel = sel.reshape(-1) > 0
             planes_by_col = {
@@ -956,14 +1035,7 @@ class CompiledFilterAggregate:
             order_arr = self._emission_order(parts, part_counts, part_first)
         else:
             order_arr = np.asarray([], dtype=np.int64)
-        if self.ordered and len(order_arr):
-            # OrderedAggregate emits groups sorted by key string value
-            # (ColumnBatch.sort_indices ranks dict codes via sort_ranks);
-            # keys are unique so a stable re-sort of the emitted codes by
-            # rank reproduces that order exactly.
-            ranks = self.dictionary.sort_ranks()
-            fam = self._inv[order_arr] if self._inv is not None else order_arr
-            order_arr = order_arr[np.argsort(ranks[fam], kind="stable")]
+        order_arr = self._ordered_sort(order_arr)
 
         by_name = {}
         for spec in self.aggs:
@@ -976,41 +1048,60 @@ class CompiledFilterAggregate:
             else:
                 by_name[spec.result_name] = maxs_np[spec.column]
         return emit_output(
-            self.group_col,
-            self.dictionary,
+            self._emitted_group_cols(order_arr),
             order_arr,
             [spec.result_name for spec in self.aggs],
             by_name,
             self.output_projection,
-            group_codes=(
-                self._inv[order_arr] if self._inv is not None else None
-            ),
         )
+
+    def _ordered_sort(self, order_arr: np.ndarray) -> np.ndarray:
+        """Key-order re-sort under ordered_aggregations: OrderedAggregate
+        emits groups sorted by the group key tuple's string values
+        (ColumnBatch.sort_indices ranks dict codes via sort_ranks); keys
+        are unique so a stable lexicographic re-sort of the emitted codes
+        reproduces that order exactly."""
+        if not self.ordered or not len(order_arr):
+            return order_arr
+        fams = self._decode_codes(order_arr)
+        keys = [
+            gcol.dictionary.sort_ranks()[fam]
+            for gcol, fam in zip(self._gplan, fams)
+        ]
+        # np.lexsort sorts by the LAST key first.
+        return order_arr[np.lexsort(tuple(reversed(keys)))]
+
+    def _emitted_group_cols(self, order_arr: np.ndarray) -> list[tuple]:
+        """emit_output's group-column spec: per column (name, dictionary,
+        family codes in emission order)."""
+        fams = self._decode_codes(order_arr)
+        return [
+            (gcol.name, gcol.dictionary, fam)
+            for gcol, fam in zip(self._gplan, fams)
+        ]
 
 
 def emit_output(
-    group_col: str,
-    dictionary,
+    group_cols: list,
     order_arr: np.ndarray,
     result_names: Sequence[str],
     by_name: dict,
     output_projection,
-    group_codes: Optional[np.ndarray] = None,
 ) -> ColumnBatch:
     """Materialize the output batch from dense [K] host partials + the group
     emission order — shared by the compiled and mesh executors so both emit
     byte-identical batches. ``order_arr`` indexes the [K] partials;
-    ``group_codes`` (default: order_arr) are the emitted FAMILY dictionary
-    codes — they differ when the kernel ran in a compact remapped space."""
+    ``group_cols`` is a list of (name, dictionary, family_codes) — the
+    emitted group key columns in plan order (family codes differ from
+    order_arr when the kernel ran in a compact/combined code space)."""
     n = len(order_arr)
-    if group_codes is None:
-        group_codes = order_arr
 
-    def group_column():
+    def group_column(i):
+        name, dictionary, codes = group_cols[i]
         return Column(
-            group_col,
+            name,
             KIND_DICT,
-            group_codes.astype(np.int32),
+            np.asarray(codes).astype(np.int32),
             np.ones(n, dtype=bool),
             dictionary,
         )
@@ -1027,7 +1118,7 @@ def emit_output(
         )
 
     if output_projection is None:
-        cols = [group_column()]
+        cols = [group_column(i) for i in range(len(group_cols))]
         for name in result_names:
             cols.append(agg_column(name, by_name[name]))
         return ColumnBatch(cols, n)
@@ -1039,7 +1130,7 @@ def emit_output(
     seen: set[str] = set()
     for item in output_projection:
         if item[0] == "group":
-            col = group_column()
+            col = group_column(item[1] if len(item) > 1 else 0)
         elif item[0] == "col":
             _, out_name, src_name = item
             col = agg_column(out_name, by_name[src_name])
@@ -1140,9 +1231,18 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
     if table is None:
         raise NotCompilable(f"table not found: {scan.table_name}")
 
-    if len(agg.group_exprs) != 1 or type(agg.group_exprs[0]) is not E.Column:
-        raise NotCompilable("compiled path needs one concrete group column")
-    group_col = agg.group_exprs[0].column_name
+    if not agg.group_exprs or any(
+        type(ge) is not E.Column for ge in agg.group_exprs
+    ):
+        raise NotCompilable("compiled path needs concrete group columns")
+    group_cols: list[str] = []
+    for ge in agg.group_exprs:
+        # the generic engine matches each column once (first expr wins)
+        if ge.column_name not in group_cols:
+            group_cols.append(ge.column_name)
+    if len(group_cols) > 2:
+        raise NotCompilable("compiled path groups by at most 2 columns")
+    group_col = group_cols[0] if len(group_cols) == 1 else group_cols
 
     aggs: list[tuple[str, str, str]] = []
     seen_names: set[str] = set()
@@ -1195,9 +1295,11 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
         output_projection = []
         for e in proj_node.projection.exprs:
             if type(e) is E.Column:
-                if e.column_name != group_col:
+                if e.column_name not in group_cols:
                     raise NotCompilable("projection of a non-group column")
-                output_projection.append(("group",))
+                output_projection.append(
+                    ("group", group_cols.index(e.column_name))
+                )
             elif isinstance(e, E.AggregationFunction):
                 name = e.name()
                 if name not in agg_names:

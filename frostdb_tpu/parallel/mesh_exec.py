@@ -120,25 +120,18 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             cache[key] = lut
         return lut
 
-    def _remap_dev(self, remap, inv):
-        """Mesh-replicated remap LUT, cached per (dictionary, presence)
-        version (the base caches on the default device only)."""
+    def _put_replicated(self, arr):
+        """LUT-like constants live mesh-replicated."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        key = (len(remap), hash(inv.tobytes()))
-        cached = getattr(self, "_remap_dev_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        dev = jax.device_put(remap, NamedSharding(self.mesh, P()))
-        self._remap_dev_cache = (key, dev)
-        return dev
+        return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
     def _part_signature(self, part) -> tuple:
         """Static program structure for one part: which filter leaves are
         present (missing dynamic columns resolve statically — all-false
         parts were dropped by _filter_parts, all-true leaves are no-ops),
-        plus the aggregation op list."""
+        the group-key plan shape, and the aggregation op list."""
         leaves = []
         for leaf in self.filters:
             if part.batch.column(leaf.column) is None:
@@ -155,7 +148,10 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             else (E.AGG_COUNT, False)
             for spec in self.aggs
         )
-        return (tuple(leaves), ops, self._inv is not None)
+        gshape = tuple(
+            (gcol.remap is not None, gcol.k) for gcol in self._gplan
+        )
+        return (tuple(leaves), ops, gshape)
 
     def _program(self, sig: tuple, num_codes: int, per_shard: int):
         key = (id(self.mesh), self.axis, sig, num_codes, self.trivial)
@@ -169,7 +165,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
 
         from ..ops import kernels as K
 
-        leaves, ops, has_remap = sig
+        leaves, ops, gshape = sig
         axis = self.axis
         trivial = self.trivial
         psum = (lambda x, a: x) if trivial else jax.lax.psum
@@ -177,16 +173,24 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         pmax = (lambda x, a: x) if trivial else jax.lax.pmax
 
         def step(*xs):
-            # xs layout: n, gcodes, gvalid, [remap], then per present leaf
-            # (int: fvals,fvalid,lit | nulllit: fvalid | dict: fcodes,
-            # fvalid,lut), then per non-count agg (vals, vvalid).
-            n, gcodes, gvalid = xs[0], xs[1], xs[2]
-            i = 3
-            if has_remap:
-                # Compact per-column code space (compiled._group_remap):
-                # one replicated-LUT gather per row.
-                gcodes = jnp.take(xs[i], gcodes, mode="clip")
-                i += 1
+            # xs layout: n, then per group col (codes, valid, [remap]),
+            # then per present leaf (int: fvals,fvalid,lit | nulllit:
+            # fvalid | dict: fcodes,fvalid,lut), then per non-count agg
+            # (vals, vvalid).
+            n = xs[0]
+            i = 1
+            gcodes = None
+            gvalid = None
+            for has_remap, k in gshape:
+                c, v = xs[i], xs[i + 1]
+                i += 2
+                if has_remap:
+                    # Compact per-column code space (_group_remap): one
+                    # replicated-LUT gather per row.
+                    c = jnp.take(xs[i], c, mode="clip")
+                    i += 1
+                gcodes = c if gcodes is None else gcodes * jnp.int32(k) + c
+                gvalid = v if gvalid is None else gvalid & v
             m = gcodes.shape[0]
             if trivial:
                 rows = jnp.arange(m, dtype=jnp.int64)
@@ -279,9 +283,11 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             # shard_map's replication inference on identity "collectives".
             prog = jax.jit(step)
         else:
-            in_specs = [P(), P(axis), P(axis)]
-            if has_remap:
-                in_specs.append(P())
+            in_specs = [P()]
+            for has_remap, _k in gshape:
+                in_specs += [P(axis), P(axis)]
+                if has_remap:
+                    in_specs.append(P())
             for leaf_sig in leaves:
                 if leaf_sig is None:
                     continue
@@ -306,14 +312,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         _PROGRAM_CACHE[key] = prog
         return prog
 
-    def _part_args(self, part, sp, remap_dev) -> list:
+    def _part_args(self, part, sp) -> list:
         """Flat argument list matching ``_part_signature``'s layout."""
         import jax.numpy as jnp
 
-        g = sp.column(self.group_col)
-        args = [jnp.asarray(part.batch.num_rows, jnp.int64), g.data, g.validity]
-        if remap_dev is not None:
-            args.append(remap_dev)
+        args = [jnp.asarray(part.batch.num_rows, jnp.int64)]
+        for gcol in self._gplan:
+            g = sp.column(gcol.name)
+            args += [g.data, g.validity]
+            if gcol.remap is not None:
+                args.append(self._remap_dev(gcol))
         for i, leaf in enumerate(self.filters):
             f = sp.column(leaf.column)
             if f is None:
@@ -358,19 +366,14 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     # Values past the segment-reduction identity headroom
                     # (ops/kernels.ident_like) — generic engine territory.
                     raise NotCompilable("min/max values near int64 sentinel")
-        rm = self._group_remap(parts)
-        self._inv = rm[1] if rm is not None else None
-        remap_dev = self._remap_dev(*rm) if rm is not None else None
-        num_codes = (
-            len(rm[1]) if rm is not None else len(self.dictionary)
-        ) or 1
+        self._gplan, num_codes = self._group_remap(parts)
 
         result_names = [spec.result_name for spec in self.aggs]
         if not parts:
+            empty = np.asarray([], dtype=np.int64)
             return emit_output(
-                self.group_col,
-                self.dictionary,
-                np.asarray([], dtype=np.int64),
+                self._emitted_group_cols(empty),
+                empty,
                 result_names,
                 {n: np.zeros(num_codes, np.int64) for n in result_names},
                 self.output_projection,
@@ -384,7 +387,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             sp = self._part_data(p)
             sig = self._part_signature(p)
             prog = self._program(sig, num_codes, getattr(sp, "per_shard", 0))
-            outs = prog(*self._part_args(p, sp, remap_dev))
+            outs = prog(*self._part_args(p, sp))
             counts_p, first_p = outs[0], outs[1]
             counts_total = counts_total + counts_p
             global_first = jnp.minimum(
@@ -434,21 +437,14 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         # has exactly one code so stream positions are distinct.
         present = np.nonzero(counts_np > 0)[0]
         order_arr = present[np.argsort(first_np[present], kind="stable")]
-        if self.ordered and len(order_arr):
-            ranks = self.dictionary.sort_ranks()
-            fam = self._inv[order_arr] if self._inv is not None else order_arr
-            order_arr = order_arr[np.argsort(ranks[fam], kind="stable")]
+        order_arr = self._ordered_sort(order_arr.astype(np.int64))
 
         return emit_output(
-            self.group_col,
-            self.dictionary,
-            order_arr.astype(np.int64),
+            self._emitted_group_cols(order_arr),
+            order_arr,
             result_names,
             by_name,
             self.output_projection,
-            group_codes=(
-                self._inv[order_arr] if self._inv is not None else None
-            ),
         )
 
 
@@ -495,10 +491,6 @@ class DenseLocalAggregate(MeshFilterAggregate):
         # Share the compiled path's per-part device cache: one upload
         # serves both tiers.
         return part.device()
-
-    def _remap_dev(self, remap, inv):
-        # The base (default-device) LUT cache — no mesh placement needed.
-        return CompiledFilterAggregate._remap_dev(self, remap, inv)
 
 
 def lower_plan_dense(plan, exec_options) -> DenseLocalAggregate:
