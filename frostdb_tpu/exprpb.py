@@ -141,6 +141,10 @@ def plan_to_proto(plan: LogicalPlan) -> pb.PlanNode:
         )
     elif plan.limit is not None:
         node.limit.expr.CopyFrom(expr_to_proto(plan.limit.expr))
+    elif plan.join is not None:
+        node.join.right.CopyFrom(plan_to_proto(plan.join.right))
+        node.join.on.extend(plan.join.on)
+        node.join.how = plan.join.how
     else:
         raise ProtoConversionError("unsupported plan node")
     if plan.input is not None:
@@ -186,6 +190,9 @@ def plan_from_proto(node: pb.PlanNode, provider) -> LogicalPlan:
             builder = Builder(plan)
         elif spec == "limit":
             builder = builder.limit(expr_from_proto(n.limit.expr))
+        elif spec == "join":
+            right = plan_from_proto(n.join.right, provider)
+            builder = builder.join(right, list(n.join.on), n.join.how)
         else:
             raise ProtoConversionError(f"unsupported plan spec {spec}")
     return builder.plan

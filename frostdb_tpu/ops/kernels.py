@@ -470,3 +470,83 @@ def dense_group_reduce(codes, vals, sel, num_codes: int, op: str):
             jnp.where(sel, vals, ident), c, num_segments=num_codes + 1
         )[:num_codes]
     raise ValueError(op)
+
+
+# ---------------------------------------------------------------------------
+# Hash-join expansion (north-star component, SURVEY.md §2.8 — the reference
+# has no join operator; the single-chip analogue of the distributed CSR join
+# in parallel/join.py, sharing its math so local and mesh results agree).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_codes", "capacity", "left_outer")
+)
+def join_expand(
+    lcodes,
+    lkey_valid,
+    llive,
+    rcodes,
+    rkey_valid,
+    num_codes: int,
+    capacity: int,
+    left_outer: bool,
+):
+    """Expand equi-join matches on shared int key codes.
+
+    Build side (right) rows bucket by code via stable argsort (CSR); each
+    probe (left) row's matches expand through an exclusive cumsum of per-row
+    output counts and a searchsorted over the output index space — static
+    shapes throughout, the same formulation as the distributed kernel
+    (parallel/join.py distributed_hash_join_multi). Output slots are ordered
+    (left row asc, right row asc): stable sort keeps equal codes in original
+    right-row order, making the emission order canonical on any device
+    count.
+
+    Returns (total, li, rrow, live, matched): ``li``/``rrow`` index the
+    probe/build rows per output slot; ``live`` marks slots < total;
+    ``matched`` marks slots with a real build match (False only for
+    left_outer's null-extended rows).
+    """
+    n_l = lcodes.shape[0]
+    n_r = rcodes.shape[0]
+    safe_r = jnp.where(rkey_valid, rcodes.astype(jnp.int32), jnp.int32(num_codes))
+    # Stable-argsort order via an unstable sort of a unique composite key
+    # (code * n_r + row): TPU lowers a single-key sort in seconds where the
+    # stable multi-operand argsort comparator takes minutes to compile
+    # through the tunnel.
+    if (num_codes + 1) * n_r < 2**31:
+        comp = safe_r * jnp.int32(n_r) + jnp.arange(n_r, dtype=jnp.int32)
+        perm = jnp.sort(comp) % jnp.int32(n_r)
+    else:
+        comp = safe_r.astype(jnp.int64) * n_r + jnp.arange(n_r, dtype=jnp.int64)
+        perm = (jnp.sort(comp) % n_r).astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        jnp.where(rkey_valid, jnp.int32(1), jnp.int32(0)),
+        safe_r,
+        num_segments=num_codes + 1,
+    )[:num_codes]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)[:-1]]
+    )
+    lc = jnp.clip(lcodes.astype(jnp.int32), 0, num_codes - 1)
+    mc = jnp.where(lkey_valid & llive, counts[lc], 0)
+    if left_outer:
+        out_counts = jnp.where(llive, jnp.maximum(mc, 1), 0)
+    else:
+        out_counts = mc
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int64), jnp.cumsum(out_counts).astype(jnp.int64)]
+    )
+    total = off[-1]
+    out_idx = jnp.arange(capacity, dtype=jnp.int64)
+    li = jnp.clip(
+        jnp.searchsorted(off, out_idx, side="right") - 1, 0, n_l - 1
+    ).astype(jnp.int32)
+    rank = (out_idx - off[li]).astype(jnp.int32)
+    code = jnp.clip(lcodes[li].astype(jnp.int32), 0, num_codes - 1)
+    has = mc[li] > 0
+    rpos = jnp.clip(starts[code] + rank, 0, n_r - 1)
+    rrow = perm[rpos].astype(jnp.int32)
+    live = out_idx < total
+    matched = live & has
+    return total, li, rrow, live, matched

@@ -74,6 +74,16 @@ class LocalQueryBuilder:
     def sample(self, size: E.Expr, limit: E.Expr) -> "LocalQueryBuilder":
         return LocalQueryBuilder(self.engine, self.builder.sample(size, limit))
 
+    def join(
+        self, right: "LocalQueryBuilder", on, how: str = "inner"
+    ) -> "LocalQueryBuilder":
+        """Equi-join with another query of this engine (north-star
+        component, SURVEY.md §2.8): ``inner``/``left_outer`` extend rows with
+        the right side's columns; ``semi``/``anti`` filter the left side.
+        Distributes over ``ExecOptions.mesh`` when set."""
+        rb = right.builder if isinstance(right, LocalQueryBuilder) else right
+        return LocalQueryBuilder(self.engine, self.builder.join(rb, on, how))
+
     def _optimized_plan(self) -> LogicalPlan:
         plan = self.builder.build()
         return optimize(plan)

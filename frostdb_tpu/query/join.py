@@ -1,0 +1,289 @@
+"""Hash-join physical operator (north-star component, SURVEY.md §2.8).
+
+The reference has no join operator (verified by grep over query/); the
+serialized-plan protocol (reference
+proto/frostdb/storage/v1alpha1/storage.proto:6) is its federation seed.
+Here the join is a first-class engine citizen: a logical ``Join`` node, this
+operator as its lowering, an exprpb message, and a distributed execution
+mode over the device mesh.
+
+Execution: the right (build) subplan runs to completion at finish time; both
+sides' key columns are mapped into one shared dense code space on the host
+(exact ``np.unique`` compaction, the same trick as the compiled path's
+compact code remap); the match expansion — the O(output) part — runs as a
+jitted device kernel (ops/kernels.join_expand, single chip) or as the
+shard_map CSR join over the mesh (parallel/join.py) when ``ExecOptions.mesh``
+is set. Output rows are canonically ordered (left stream row, right row), so
+local and distributed execution are byte-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import expr as E
+from .physeval import EvalError
+from ..columnbatch import (
+    Column,
+    ColumnBatch,
+    KIND_BOOL,
+    KIND_DICT,
+    KIND_FLOAT64,
+    KIND_INT64,
+    KIND_LIST,
+    KIND_UINT64,
+)
+from ..ops import kernels as K
+
+_NUMERIC = (KIND_INT64, KIND_UINT64, KIND_BOOL, KIND_FLOAT64)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _key_values(col: Column | None, n: int):
+    """Per-row comparable key representation + validity.
+
+    Dict columns compare by string value (codes are per-table, so two
+    tables' dictionaries never align — the shared code space is rebuilt from
+    values); numeric columns by value. Returns (values, validity, class)
+    where class is "str" or "num".
+    """
+    if col is None:
+        return np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.bool_), "num"
+    if col.kind == KIND_LIST:
+        raise EvalError(f"cannot join on list column {col.name}")
+    if col.kind == KIND_DICT:
+        varr = col.dictionary.value_array()
+        if len(varr) == 0:
+            vals = np.full(n, "", dtype=object)
+        else:
+            codes = np.clip(col.values.astype(np.int64), 0, len(varr) - 1)
+            vals = varr[codes]
+        return vals, col.validity, "str"
+    if col.kind == KIND_FLOAT64:
+        return col.values.astype(np.float64), col.validity, "num"
+    if col.kind == KIND_UINT64:
+        # uint64 values above 2^63 keep exact identity through float128-free
+        # object fallback only if needed; in practice IDs fit int64.
+        return col.values.astype(np.uint64).astype(np.int64), col.validity, "num"
+    return col.values.astype(np.int64), col.validity, "num"
+
+
+def shared_key_codes(left: ColumnBatch, right: ColumnBatch | None, on):
+    """Map both sides' key tuples into one dense code space.
+
+    Returns (lcodes, lvalid, rcodes, rvalid, num_codes): int64 codes in
+    [0, num_codes) with rows carrying any null key marked invalid (SQL null
+    never equals null).
+    """
+    nl = left.num_rows
+    nr = right.num_rows if right is not None else 0
+    acc = None
+    acc_num = 1
+    lvalid = np.ones(nl, dtype=np.bool_)
+    rvalid = np.ones(nr, dtype=np.bool_)
+    for k in on:
+        lcol = left.column(k)
+        rcol = right.column(k) if right is not None else None
+        lrep, lv, lcls = _key_values(lcol, nl)
+        rrep, rv, rcls = _key_values(rcol, nr)
+        lvalid &= lv
+        rvalid &= rv
+        if lcol is not None and rcol is not None and lcls != rcls:
+            raise EvalError(
+                f"join key {k} kind mismatch: {lcol.kind} vs {rcol.kind}"
+            )
+        if lcls == "str" or rcls == "str":
+            both = np.concatenate(
+                [np.asarray(lrep, dtype=object), np.asarray(rrep, dtype=object)]
+            ).astype(str)
+        else:
+            both = np.concatenate(
+                [lrep.astype(np.float64), rrep.astype(np.float64)]
+            ) if (
+                (lcol is not None and lcol.kind == KIND_FLOAT64)
+                or (rcol is not None and rcol.kind == KIND_FLOAT64)
+            ) else np.concatenate(
+                [lrep.astype(np.int64), rrep.astype(np.int64)]
+            )
+        uniq, inv = np.unique(both, return_inverse=True)
+        codes = inv.astype(np.int64)
+        num = max(len(uniq), 1)
+        if acc is None:
+            acc, acc_num = codes, num
+        else:
+            pair = acc * num + codes
+            uniq2, acc = np.unique(pair, return_inverse=True)
+            acc = acc.astype(np.int64)
+            acc_num = max(len(uniq2), 1)
+    if acc is None:
+        acc = np.zeros(nl + nr, dtype=np.int64)
+    return acc[:nl], lvalid, acc[nl:], rvalid, acc_num
+
+
+def local_join_pairs(lcodes, lvalid, rcodes, rvalid, num_codes, total, how):
+    """Single-chip CSR expansion via the jitted device kernel. Returns
+    (lrows, rrows, matched) ordered (left row asc, right row asc)."""
+    nl = len(lcodes)
+    nr = len(rcodes)
+    n_l_pad = _next_pow2(max(nl, 1))
+    n_r_pad = _next_pow2(max(nr, 1))
+    cap = _next_pow2(max(total, 1))
+    nc = _next_pow2(num_codes)
+    lc = np.zeros(n_l_pad, dtype=np.int64)
+    lc[:nl] = lcodes
+    lkv = np.zeros(n_l_pad, dtype=np.bool_)
+    lkv[:nl] = lvalid
+    llive = np.zeros(n_l_pad, dtype=np.bool_)
+    llive[:nl] = True
+    rc = np.zeros(n_r_pad, dtype=np.int64)
+    rc[:nr] = rcodes
+    rkv = np.zeros(n_r_pad, dtype=np.bool_)
+    rkv[:nr] = rvalid
+    _t, li, rrow, _live, matched = K.join_expand(
+        lc, lkv, llive, rc, rkv, nc, cap, how == "left_outer"
+    )
+    li = np.asarray(li)[:total]
+    rrow = np.asarray(rrow)[:total]
+    matched = np.asarray(matched)[:total]
+    return li.astype(np.int64), rrow.astype(np.int64), matched
+
+
+def mesh_join_pairs(lcodes, lvalid, rcodes, rvalid, num_codes, how, mesh, axis):
+    """Distributed CSR expansion over the device mesh (parallel/join.py):
+    both sides hash-partition on the shared key code so equal keys co-locate
+    and the match is shard-local; row ids ride along so the host
+    materializes the same (left row, right row) pair set as the local
+    kernel. Canonical (left, right) lexsort makes the output byte-identical
+    to single-chip execution."""
+    from ..parallel.join import distributed_join_auto
+    from ..parallel.mesh import PartitionedTable
+
+    nl = len(lcodes)
+    nr = len(rcodes)
+    lcb = ColumnBatch(
+        [
+            Column("__code__", KIND_INT64, lcodes.astype(np.int64), lvalid),
+            Column(
+                "__rowid__",
+                KIND_INT64,
+                np.arange(nl, dtype=np.int64),
+                np.ones(nl, dtype=np.bool_),
+            ),
+        ],
+        nl,
+    )
+    rcb = ColumnBatch(
+        [
+            Column("__code__", KIND_INT64, rcodes.astype(np.int64), rvalid),
+            Column(
+                "__rowid__",
+                KIND_INT64,
+                np.arange(nr, dtype=np.int64),
+                np.ones(nr, dtype=np.bool_),
+            ),
+        ],
+        nr,
+    )
+    lpt = PartitionedTable.from_batch(lcb, mesh, axis, hash_key="__code__")
+    rpt = PartitionedTable.from_batch(rcb, mesh, axis, hash_key="__code__")
+    totals, li, rjvalid, rvs, cap = distributed_join_auto(
+        lpt, rpt, "__code__", num_codes, ["__rowid__"], how
+    )
+    n_shards = lpt.n_shards
+    per_shard = lpt.n_pad // n_shards
+    lrowid = np.asarray(lpt.column("__rowid__").data)
+    lrowlive = np.asarray(lpt.column("__rowid__").validity)
+    li = np.asarray(li)
+    rjvalid = np.asarray(rjvalid)
+    rrowid = np.asarray(rvs[0])
+    lrows_parts = []
+    rrows_parts = []
+    match_parts = []
+    for s in range(n_shards):
+        t = int(totals[s])
+        sl = slice(s * cap, s * cap + t)
+        lp = s * per_shard + li[sl]
+        live = lrowlive[lp]  # drop padding-row phantom slots (left_outer)
+        lrows_parts.append(lrowid[lp][live])
+        m = rjvalid[sl][live]
+        match_parts.append(m)
+        rrows_parts.append(np.where(m, rrowid[sl][live], np.int64(-1)))
+    lrows = np.concatenate(lrows_parts) if lrows_parts else np.zeros(0, np.int64)
+    rrows = np.concatenate(rrows_parts) if rrows_parts else np.zeros(0, np.int64)
+    matched = (
+        np.concatenate(match_parts) if match_parts else np.zeros(0, np.bool_)
+    )
+    order = np.lexsort((rrows, lrows))
+    return lrows[order], rrows[order], matched[order]
+
+
+def join_batches(
+    left: ColumnBatch,
+    right: ColumnBatch | None,
+    on,
+    how: str,
+    mesh=None,
+    mesh_axis: str = "shards",
+) -> ColumnBatch | None:
+    """Join two unified host batches; the workhorse behind the HashJoin
+    operator (and directly reachable for library use)."""
+    nl = left.num_rows
+    nr = right.num_rows if right is not None else 0
+    lcodes, lvalid, rcodes, rvalid, num_codes = shared_key_codes(
+        left, right, on
+    )
+    counts = (
+        np.bincount(rcodes[rvalid], minlength=num_codes)
+        if nr
+        else np.zeros(num_codes, dtype=np.int64)
+    )
+    mc = np.where(lvalid, counts[lcodes], 0)
+
+    if how == "semi":
+        return left.select_mask(mc > 0)
+    if how == "anti":
+        return left.select_mask(lvalid & (mc == 0))
+
+    total = int(np.maximum(mc, 1).sum()) if how == "left_outer" else int(mc.sum())
+    if total == 0:
+        return None
+    if mesh is not None and mesh.devices.size > 1 and nr > 0:
+        lrows, rrows, matched = mesh_join_pairs(
+            lcodes, lvalid, rcodes, rvalid, num_codes, how, mesh, mesh_axis
+        )
+    else:
+        lrows, rrows, matched = local_join_pairs(
+            lcodes, lvalid, rcodes, rvalid, num_codes, total, how
+        )
+
+    out_cols = [c.take(lrows) for c in left.columns]
+    left_names = {c.name for c in left.columns}
+    key_names = set(on)
+    if right is not None:
+        safe_r = np.clip(rrows, 0, max(nr - 1, 0))
+        rt = right.take(safe_r)
+        for c in rt.columns:
+            if c.name in key_names:
+                continue
+            nm = c.name if c.name not in left_names else c.name + "_right"
+            validity = c.validity & matched
+            vals = c.values
+            if c.kind != KIND_LIST:
+                # invariant: null slots hold 0/False (columnbatch.py Column)
+                vals = np.where(validity, vals, vals.dtype.type(0))
+            out_cols.append(
+                Column(
+                    nm,
+                    c.kind,
+                    vals,
+                    validity,
+                    c.dictionary,
+                    c.layout,
+                    offsets=c.offsets,
+                    child=c.child,
+                )
+            )
+    return ColumnBatch(out_cols, len(lrows))

@@ -62,6 +62,27 @@ class Aggregation:
 
 
 @dataclass
+class Join:
+    """Equi-join against an independent right-side subplan.
+
+    The reference has no join operator (verified by grep over query/ —
+    SURVEY.md §2.8 makes the distributed hash join a north-star extension,
+    seeded by the serialized-plan federation protocol,
+    reference proto/frostdb/storage/v1alpha1/storage.proto:6). Semantics:
+    SQL equi-join on the named columns; null keys never match; output rows
+    are ordered (left stream row, right row) — deterministic on any device
+    count.
+    """
+
+    right: "LogicalPlan"
+    on: list[str]
+    how: str = "inner"  # inner | left_outer | semi | anti
+
+
+JOIN_MODES = ("inner", "left_outer", "semi", "anti")
+
+
+@dataclass
 class Limit:
     expr: E.Expr  # literal row count
 
@@ -85,6 +106,7 @@ class LogicalPlan:
         self.aggregation: Optional[Aggregation] = kwargs.get("aggregation")
         self.limit: Optional[Limit] = kwargs.get("limit")
         self.sample: Optional[Sample] = kwargs.get("sample")
+        self.join: Optional[Join] = kwargs.get("join")
 
     def accept_post(self, fn) -> bool:
         """Post-order traversal (reference: PostPlanVisitorFunc)."""
@@ -213,6 +235,14 @@ class Builder:
 
     def sample(self, expr: E.Expr, limit: E.Expr) -> "Builder":
         return self._next(sample=Sample(expr, limit))
+
+    def join(self, right, on, how: str = "inner") -> "Builder":
+        """Equi-join this plan (the probe/left side) with ``right`` (another
+        Builder or LogicalPlan; the build side) on the named key columns."""
+        rplan = right.plan if isinstance(right, Builder) else right
+        if isinstance(on, str):
+            on = [on]
+        return self._next(join=Join(rplan, list(on), how))
 
     def aggregate(
         self,

@@ -29,6 +29,30 @@ def default_optimizers():
 def optimize(plan: LogicalPlan) -> LogicalPlan:
     for o in default_optimizers():
         plan = o.optimize(plan)
+    # Join right-side subplans are independent pipelines: optimize each
+    # recursively. The right output feeds the join in full, so its physical
+    # projection starts from keep-all rather than the empty set (a bare
+    # ``scan.filter(...)`` right side must not be pruned to its filter
+    # columns).
+    node = plan
+    while node is not None:
+        if node.join is not None:
+            node.join.right = _optimize_join_right(node.join.right)
+        node = node.input
+    return plan
+
+
+def _optimize_join_right(plan: LogicalPlan) -> LogicalPlan:
+    keep_all = [E.NotExpr(E.DynCol(HASHED_MATCH))]
+    pp = PhysicalProjectionPushDown(keep_all)
+    pp._walk(plan, list(keep_all))
+    for o in (FilterPushDown(), DistinctPushDown(), AggFuncPushDown()):
+        plan = o.optimize(plan)
+    node = plan
+    while node is not None:
+        if node.join is not None:
+            node.join.right = _optimize_join_right(node.join.right)
+        node = node.input
     return plan
 
 
@@ -64,6 +88,11 @@ class PhysicalProjectionPushDown:
                 used += e.columns_used()
             self.default_projections = []
             used = used + [E.DynCol(HASHED_MATCH)]
+        elif plan.join is not None:
+            # The join emits every left column; keep-all below this point
+            # (the right side is optimized separately, optimize()).
+            self.default_projections = []
+            used = [E.NotExpr(E.DynCol(HASHED_MATCH))]
         if plan.input is not None:
             self._walk(plan.input, used)
 
@@ -82,6 +111,11 @@ class FilterPushDown:
                 plan.table_scan.filter = E.And(*exprs)
         elif plan.filter is not None:
             exprs = exprs + [plan.filter.expr]
+        elif plan.join is not None:
+            # A filter above a join may reference right-side (or
+            # join-produced null) columns — never push it past the join; the
+            # PredicateFilter operator still applies it post-join.
+            exprs = []
         if plan.input is not None:
             self._walk(plan.input, exprs)
 

@@ -803,6 +803,64 @@ class Distinction(PhysicalOperator):
 
 
 # ---------------------------------------------------------------------------
+# Hash join (north-star component, SURVEY.md §2.8 — no reference analogue)
+
+
+class HashJoin(PhysicalOperator):
+    """Equi-join operator: accumulates the probe (left) stream, runs the
+    build (right) subplan at finish time, and joins via the shared-code CSR
+    expansion (query/join.py) — single-chip device kernel, or the
+    distributed shard_map join (parallel/join.py) when ``ExecOptions.mesh``
+    is set. Output is canonically ordered (left stream row, right row), so
+    results are byte-identical on any device count."""
+
+    def __init__(self, join, options, right_output: "OutputPlan"):
+        super().__init__()
+        self.join = join
+        self.options = options
+        self.right_output = right_output
+        self._batches: list[ColumnBatch] = []
+
+    def callback(self, batch: ColumnBatch) -> None:
+        self._batches.append(batch)
+
+    def finish(self) -> None:
+        out = self._join()
+        if out is not None and out.num_rows > 0:
+            self.next.callback(out)
+        self.next.finish()
+
+    def _join(self) -> Optional[ColumnBatch]:
+        if not self._batches:
+            return None
+        left = unify_concat(self._batches)
+        self._batches = []
+        if left.num_rows == 0:
+            return None
+        right_batches: list[ColumnBatch] = []
+        self.right_output.execute(right_batches.append)
+        right = unify_concat(right_batches) if right_batches else None
+        from .join import join_batches
+
+        return join_batches(
+            left,
+            right,
+            self.join.on,
+            self.join.how,
+            mesh=self.options.mesh,
+            mesh_axis=self.options.mesh_axis,
+        )
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        keys = ",".join(self.join.on)
+        rdesc = self.right_output.draw_string()
+        return Diagram(
+            f"HashJoin ({self.join.how} on {keys}) [build: {rdesc}]", child
+        )
+
+
+# ---------------------------------------------------------------------------
 # Limit
 
 
@@ -1070,6 +1128,21 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 sync.set_next(a)
                 prev = [a]
             ordering_ok = bool(ordered)
+        elif node.join is not None:
+            ordering_ok = False
+            # Build side: an independent physical pipeline, executed by the
+            # operator at finish time. Probe lanes synchronize into one join
+            # (the accumulate-then-kernel pattern of HashAggregate).
+            right_output = build_physical(node.join.right, opts)
+            j = HashJoin(node.join, opts, right_output)
+            if len(prev) > 1:
+                sync = Synchronizer(len(prev))
+                for i in range(len(prev)):
+                    prev[i].set_next(sync.lane(i))
+                sync.set_next(j)
+            else:
+                prev[0].set_next(j)
+            prev = [j]
         elif node.sample is not None:
             v = int(_lit_value(node.sample.expr))
             limit = int(_lit_value(node.sample.limit))

@@ -34,6 +34,7 @@ def _validate_node(node: LogicalPlan) -> None:
             node.aggregation,
             node.limit,
             node.sample,
+            node.join,
         )
         if f is not None
     ]
@@ -43,6 +44,21 @@ def _validate_node(node: LogicalPlan) -> None:
         )
     if node.aggregation is not None:
         _validate_aggregation(node)
+    if node.join is not None:
+        _validate_join(node)
+
+
+def _validate_join(node: LogicalPlan) -> None:
+    from .logical import JOIN_MODES
+
+    join = node.join
+    if join.how not in JOIN_MODES:
+        raise PlanValidationError(f"unknown join mode {join.how!r}")
+    if not join.on:
+        raise PlanValidationError("join needs at least one key column")
+    if join.right is None:
+        raise PlanValidationError("join needs a right-side plan")
+    validate(join.right)
 
 
 def _validate_aggregation(node: LogicalPlan) -> None:
