@@ -159,9 +159,27 @@ class DB:
             if self.store is not None and self.store.metrics is not None:
                 self.store.metrics.wal_truncations.inc()
 
+    def join_background(self, timeout: float = 5.0) -> None:
+        """Crash-simulation support: after ``wal.hard_kill``, wait for this
+        (now dead) store's background threads to reach quiescence so a
+        recovered store never races them on shared files."""
+        for t in self.tables.values():
+            t.join_background(timeout)
+
     def close(self) -> None:
+        # Drain background block persists and compactions before the WAL
+        # closes (the reference waits on writeBlock goroutines at Close,
+        # db.go:617).
+        err = None
+        for t in self.tables.values():
+            try:
+                t.sync()
+            except BaseException as e:
+                err = err or e
         if self.wal is not None:
             self.wal.close()
+        if err is not None:
+            raise err
 
 
 class DBTableProvider:
@@ -187,7 +205,12 @@ class ColumnStore:
         metrics=None,
         wal_segment_size: Optional[int] = None,
         wal_sync: bool = True,
+        background_threads: bool = True,
     ):
+        # Rotation persists and LSM compactions run on worker threads (the
+        # reference's `go t.writeBlock` / `go l.compact`); False forces the
+        # fully-synchronous single-threaded mode.
+        self.background_threads = background_threads
         self.storage_path = storage_path
         self.enable_wal = enable_wal
         self.wal_segment_size = wal_segment_size

@@ -34,13 +34,18 @@ class DiskLevel:
     """A directory-backed level of the LSM (reference: index/levels.go:30
     FileCompaction)."""
 
-    def __init__(self, directory: str, level: int):
+    def __init__(self, directory: str, level: int, is_dead=None):
         self.dir = directory
         self.level = level
         os.makedirs(directory, exist_ok=True)
         self._seq = self._max_seq() + 1
-        self._active: Optional[io.BufferedWriter] = None
         self._active_path: Optional[str] = None
+        # Crash-simulation guard (DST): a killed store's in-flight
+        # compaction must not spill into files a recovered store (or its
+        # snapshot hard-links) will read — a real crash takes the writer
+        # with it. Checked at the write boundary; no handle is retained
+        # across writes for the same reason.
+        self.is_dead = is_dead
 
     def _files(self) -> list[str]:
         return sorted(
@@ -54,15 +59,18 @@ class DiskLevel:
         return int(files[-1][:-8]) if files else 0
 
     def _ensure_active(self) -> None:
-        if self._active is None:
+        if self._active_path is None:
             self._active_path = os.path.join(
                 self.dir, f"{self._seq:020d}.parquet"
             )
-            self._active = open(self._active_path, "ab")
 
     def write_part(self, part: Part) -> None:
         """Append one compacted part's parquet payload + size frame
-        (index_files.md Writes; fsync'd)."""
+        (index_files.md Writes; fsync'd). The file opens and closes per
+        write — no handle survives the call, so a crashed (simulated-dead)
+        store can never append to an inode a later life hard-linked."""
+        if self.is_dead is not None and self.is_dead():
+            return
         rb = part.batch.to_arrow()
         table = pa.Table.from_batches([rb])
         table = table.replace_schema_metadata(
@@ -75,26 +83,28 @@ class DiskLevel:
         pq.write_table(table, buf, compression="zstd")
         payload = buf.getvalue()
         self._ensure_active()
-        self._active.write(payload)
-        self._active.write(_U64.pack(len(payload)))
-        self._active.flush()
-        os.fsync(self._active.fileno())
+        with open(self._active_path, "ab") as f:
+            f.write(payload)
+            f.write(_U64.pack(len(payload)))
+            f.flush()
+            os.fsync(f.fileno())
 
     def rotate_file(self) -> None:
-        """Seal the active index file (done at snapshot time so sealed files
-        can be hard-linked; index_files.md Snapshots)."""
-        if self._active is not None:
-            self._active.flush()
-            os.fsync(self._active.fileno())
-            self._active.close()
-            self._active = None
+        """Seal the active index file name (done at snapshot time so sealed
+        files can be hard-linked; index_files.md Snapshots)."""
+        if self._active_path is not None:
+            self._active_path = None
             self._seq += 1
 
-    def recover(self, get_dictionary) -> list[Part]:
+    def recover(self, get_dictionary, only=None) -> list[Part]:
         """Re-open all parts from the level's index files (index_files.md
-        Replay). Torn tails (missing/short trailing frame) are dropped."""
+        Replay). Torn tails (missing/short trailing frame) are dropped.
+        ``only`` restricts recovery to the named files (snapshot footers
+        record exactly which linked files belong to them)."""
         parts: list[Part] = []
         for fname in self._files():
+            if only is not None and fname not in only:
+                continue
             path = os.path.join(self.dir, fname)
             with open(path, "rb") as f:
                 data = f.read()

@@ -152,7 +152,12 @@ class LevelConfig:
 class LSM:
     """reference: index/lsm.go:122."""
 
-    def __init__(self, levels: Sequence[LevelConfig], on_compact=None):
+    def __init__(
+        self,
+        levels: Sequence[LevelConfig],
+        on_compact=None,
+        background: bool = False,
+    ):
         self.configs = list(levels)
         # parts per level, newest first.
         self.levels: list[list[Part]] = [[] for _ in range(len(self.configs))]
@@ -160,14 +165,73 @@ class LSM:
         self.on_compact = on_compact
         self.watermark: Callable[[], int] = lambda: 2**63
         self.compacting = threading.Lock()
+        # Background compaction (the reference compacts in a goroutine,
+        # index/lsm.go:341-348 `go l.compact`): inserts kick a worker and
+        # return; `drain_compactions` is the sync point.
+        self.background = background
+        self._bg_cv = threading.Condition(self._lock)
+        self._bg_running = False
+        self._bg_again = False
+        self._bg_error: BaseException | None = None
 
     def add(self, tx: int, batch: ColumnBatch) -> Part:
         """Prepend an L0 part (reference: index/lsm.go:332 Add)."""
         part = Part(batch, tx, 0)
         with self._lock:
+            if self._bg_error is not None:
+                err, self._bg_error = self._bg_error, None
+                raise err
             self.levels[0].insert(0, part)
-        self.maybe_compact()
+        if self.background:
+            self._schedule_compact()
+        else:
+            self.maybe_compact()
         return part
+
+    def _schedule_compact(self) -> None:
+        with self._lock:
+            if self._bg_running:
+                self._bg_again = True
+                return
+            self._bg_running = True
+        threading.Thread(target=self._bg_loop, daemon=True).start()
+
+    def _bg_loop(self) -> None:
+        while True:
+            try:
+                self.maybe_compact()
+            except BaseException as e:  # surfaced on the next add/drain
+                with self._lock:
+                    self._bg_error = e
+            with self._lock:
+                if not self._bg_again:
+                    self._bg_running = False
+                    self._bg_cv.notify_all()
+                    return
+                self._bg_again = False
+
+    def drain_compactions(self) -> None:
+        """Wait for in-flight background compaction to finish (the
+        reference's sync points wait on the compaction waitgroup)."""
+        with self._lock:
+            while self._bg_running:
+                self._bg_cv.wait(0.005)
+            if self._bg_error is not None:
+                err, self._bg_error = self._bg_error, None
+                raise err
+
+    def join_background(self, timeout: float = 5.0) -> None:
+        """Crash-simulation support: wait (bounded) for the worker to stop,
+        swallowing errors — a killed store's thread must reach quiescence
+        before a recovered store reopens the same files (a real crash stops
+        it instantly; an in-process simulation can only wait it out)."""
+        import time as _t
+
+        deadline = _t.monotonic() + timeout
+        with self._lock:
+            while self._bg_running and _t.monotonic() < deadline:
+                self._bg_cv.wait(0.005)
+            self._bg_error = None
 
     def insert_part(self, part: Part) -> None:
         """Insert an already-built part at its compaction level (reference:
@@ -233,10 +297,13 @@ class LSM:
 
     def rotate(self, compact_fn) -> list[Part]:
         """Drain every part into a final compacted set for block persistence
-        (reference: index/lsm.go:507 Rotate)."""
-        with self._lock:
-            all_parts = [p for level in self.levels for p in level]
-            self.levels = [[] for _ in range(len(self.configs))]
+        (reference: index/lsm.go:507 Rotate). Excludes an in-flight
+        background compaction first: its splice would otherwise resurrect
+        already-drained rows into the emptied levels."""
+        with self.compacting:
+            with self._lock:
+                all_parts = [p for level in self.levels for p in level]
+                self.levels = [[] for _ in range(len(self.configs))]
         if not all_parts:
             return []
         return compact_fn(all_parts)

@@ -131,6 +131,22 @@ def recover_db(db, path: str) -> None:
             pass
 
     db.wal.replay(pass2, from_tx=snapshot_tx + 1)
+
+    # A kill can lose the rotation's queued NewTableBlock entry while the
+    # block upload itself completed: replay then ends with an active block
+    # whose id the bucket already owns. Re-identify it (keeping the replayed
+    # parts) — otherwise new writes get stamped with a persisted block id
+    # and the NEXT recovery silently skips them (caught by the crash DST,
+    # seed 137: 95 durable rows lost).
+    for name, table in db.tables.items():
+        if table.active_block.id in persisted.get(name, set()):
+            if table.active_block.disk_level is not None:
+                # Stale spills under the persisted id would double-count
+                # with the bucket copy on a future snapshot link.
+                table.active_block.disk_level.delete_all()
+            table.active_block.id = _fresh_block_id()
+            table.active_block.reattach_disk()
+
     db.reset_to_txn(max(snapshot_tx, last_tx))
 
 

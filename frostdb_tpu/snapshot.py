@@ -55,30 +55,45 @@ def write_snapshot(db, directory: str) -> int:
                 "index_files": [],
             }
             disk = block.disk_level
-            for part in block.index.snapshot():
-                if part.tx > tx:
-                    continue
-                if disk is not None and part.compaction_level >= disk.level:
-                    # Covered by hard-linked index files below — not copied
-                    # (design/index_files.md Snapshots; snapshot.go:730).
-                    continue
-                payload = batch_to_ipc(part.batch)
-                f.write(payload)
-                tmeta["parts"].append(
-                    {
-                        "tx": part.tx,
-                        "level": part.compaction_level,
-                        "offset": offset,
-                        "length": len(payload),
-                    }
-                )
-                offset += len(payload)
-            if disk is not None:
-                link_dir = os.path.join(
-                    directory, f"{tx:020d}.index", name, str(disk.level)
-                )
-                tmeta["index_files"] = disk.snapshot_link(link_dir)
-                tmeta["index_level"] = disk.level
+            # One consistent cut per table: a background compaction splicing
+            # between the part enumeration and the index-file link would put
+            # the merged rows in the linked files while their sources are
+            # inlined (duplicates at recovery, caught by the crash DST seed
+            # 137). ``compacting`` excludes the spill+splice window.
+            with block.index.compacting:
+                for part in block.index.snapshot():
+                    if part.tx > tx:
+                        continue
+                    if disk is not None and part.compaction_level >= disk.level:
+                        # Covered by hard-linked index files below — not
+                        # copied (design/index_files.md Snapshots;
+                        # snapshot.go:730).
+                        continue
+                    payload = batch_to_ipc(part.batch)
+                    f.write(payload)
+                    tmeta["parts"].append(
+                        {
+                            "tx": part.tx,
+                            "level": part.compaction_level,
+                            "offset": offset,
+                            "length": len(payload),
+                        }
+                    )
+                    offset += len(payload)
+                if disk is not None:
+                    link_dir = os.path.join(
+                        directory, f"{tx:020d}.index", name, str(disk.level)
+                    )
+                    # A snapshot at this tx may already exist: recovery
+                    # resets the watermark, so a post-recovery snapshot can
+                    # reuse a previous incarnation's tx. Stale links left in
+                    # place would be loaded alongside the fresh ones
+                    # (duplicates — caught by the crash DST, seed 137).
+                    import shutil as _shutil
+
+                    _shutil.rmtree(link_dir, ignore_errors=True)
+                    tmeta["index_files"] = disk.snapshot_link(link_dir)
+                    tmeta["index_level"] = disk.level
             footer["tables"].append(tmeta)
         fb = json.dumps(footer).encode("utf-8")
         f.write(fb)
@@ -188,7 +203,11 @@ def load_snapshot(db, directory: str) -> int:
             if os.path.isdir(link_dir):
                 snap_level = DiskLevel(link_dir, level)
                 disk = table.active_block.disk_level
-                for part in snap_level.recover(table.dictionary):
+                # Only the files the footer recorded belong to THIS
+                # snapshot; anything else in the dir is a stale leftover.
+                for part in snap_level.recover(
+                    table.dictionary, only=set(tmeta["index_files"])
+                ):
                     table.active_block.index.insert_part(part)
                     if disk is not None:
                         disk.write_part(part)

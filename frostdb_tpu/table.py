@@ -96,7 +96,11 @@ class TableBlock:
             LevelConfig(l.level, l.max_size, self._compact_fn(l.level))
             for l in DEFAULT_LEVELS
         ]
-        self.index = LSM(cfgs, on_compact=self._on_compact)
+        self.index = LSM(
+            cfgs,
+            on_compact=self._on_compact,
+            background=getattr(table, "_background", False),
+        )
         self.index.watermark = table.compaction_watermark
         self._size = 0
         self.disk_level = None
@@ -106,7 +110,9 @@ class TableBlock:
             from .disklevel import DiskLevel
 
             self.disk_level = DiskLevel(
-                os.path.join(d, self.id, str(final)), final
+                os.path.join(d, self.id, str(final)),
+                final,
+                is_dead=table._dead,
             )
         self._final_level = final
 
@@ -118,6 +124,8 @@ class TableBlock:
 
     def _compact_fn(self, level: int):
         def compact(parts: list[Part]) -> list[Part]:
+            if self.table._dead():
+                return parts  # dead store: no disk spill, no merge needed
             merged = self.table.compact_parts(parts)
             if self.disk_level is not None and level + 1 >= self._final_level:
                 merged.compaction_level = self._final_level
@@ -136,7 +144,9 @@ class TableBlock:
         from .disklevel import DiskLevel
 
         self.disk_level = DiskLevel(
-            os.path.join(d, self.id, str(self._final_level)), self._final_level
+            os.path.join(d, self.id, str(self._final_level)),
+            self._final_level,
+            is_dead=self.table._dead,
         )
 
     def delete_index_files(self) -> None:
@@ -169,6 +179,20 @@ class Table:
         self._lock = threading.Lock()
         # txns of in-flight view() readers (bounds compaction cuts).
         self._active_views: list[int] = []
+        # Background rotation + compaction (the reference persists rotated
+        # blocks in a goroutine, table.go:621 `go t.writeBlock`, and
+        # compacts in `go l.compact`, index/lsm.go:341). ``sync()`` is the
+        # reference's Table.Sync analogue.
+        self._background = bool(
+            db is not None
+            and getattr(db, "store", None) is not None
+            and getattr(db.store, "background_threads", False)
+        )
+        self._rot_lock = threading.Lock()
+        self._rot_cv = threading.Condition(self._rot_lock)
+        self._rot_queue: list = []
+        self._rot_running = False
+        self._rotation_error: BaseException | None = None
         self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=0)
         self.pending_blocks: list[TableBlock] = []
         self.metrics = None
@@ -220,6 +244,10 @@ class Table:
         the ingestion helpers); pass sort=True to sort here."""
         if self.read_only:
             raise ReadOnlyTableError(self.name)
+        with self._rot_lock:
+            if self._rotation_error is not None:
+                err, self._rotation_error = self._rotation_error, None
+                raise err
         if isinstance(record, (pa.RecordBatch, pa.Table)):
             batch = ColumnBatch.from_arrow(record, get_dictionary=self.dictionary)
         else:
@@ -252,13 +280,22 @@ class Table:
             self.metrics.active_block_size.set(self.active_block.size())
 
         if self.active_block.size() >= self.config.active_memory_size:
-            self.rotate_block()
+            # Insert-triggered rotation never blocks the inserter when
+            # background threads are on (the reference's `go t.writeBlock`,
+            # table.go:621); explicit rotate_block() calls stay synchronous.
+            self.rotate_block(wait=not self._background)
         return tx
 
-    def rotate_block(self) -> None:
+    def rotate_block(self, wait: bool = True) -> None:
         """reference: table.go:572 RotateBlock + go writeBlock (table.go:436).
-        Synchronous here: persist the compacted block to the sink, then drop
-        it from memory."""
+
+        The active-block swap is synchronous and cheap; the expensive
+        persist (final compaction, sink upload, WAL persisted-marker,
+        snapshot, WAL truncation) runs on the table's rotation worker. The
+        old block stays in ``pending_blocks`` — readable — until its upload
+        completes, so queries never lose visibility mid-rotation. With
+        ``wait=True`` the call drains the worker before returning
+        (deterministic for tests and the reference's Table.Sync contract)."""
         with self._lock:
             old = self.active_block
             tx = self.db.begin() if self.db is not None else 1
@@ -269,32 +306,116 @@ class Table:
                         tx, self.name, self.active_block.id, self.config
                     )
                 self.db.commit(tx)
-        if self.db is not None and self.db.sinks:
-            parts = old.index.rotate(lambda ps: [self.compact_parts(ps)])
-            if parts:
-                self.db.sinks[0].upload_block(
-                    self.db.name, self.name, old.id, parts[0].batch, self._schema
-                )
-            ptx = self.db.begin()
-            if self.db.wal is not None and not self.config.disable_wal:
-                self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
-            self.db.commit(ptx)
-            old.delete_index_files()
-            # Every write below the new block's first txn now lives in a
-            # persisted block (rotation is synchronous here), so the WAL can
-            # reclaim those entries (db.go:1015 maintainWAL) — and rotation
-            # triggers a snapshot like table.go:513 writeBlock.
-            self.persisted_tx = max(self.persisted_tx, self.active_block.min_tx - 1)
-            if self.db.snapshot_trigger_size and self.db.snapshot_dir is not None:
-                from .snapshot import write_snapshot
-
-                write_snapshot(self.db, self.db.snapshot_dir)
-            self.db.maintain_wal()
-        else:
-            # No sink: keep the block readable in memory.
+            persist_upto = self.active_block.min_tx - 1
+            # Readable until persisted (or forever when there is no sink).
             self.pending_blocks.append(old)
         if self.metrics is not None:
             self.metrics.rotations.inc()
+        if self.db is None or not self.db.sinks:
+            return
+        with self._rot_lock:
+            self._rot_queue.append((old, persist_upto))
+            if not self._rot_running:
+                self._rot_running = True
+                threading.Thread(target=self._rotation_loop, daemon=True).start()
+        if wait:
+            self.wait_for_rotations()
+
+    def _dead(self) -> bool:
+        """True once the owning store was hard-killed (DST crash
+        simulation): background workers of a dead store must stop producing
+        side effects — a real crash takes its threads with it."""
+        w = self.db.wal if self.db is not None else None
+        return w is not None and getattr(w, "_killed", False)
+
+    def _rotation_loop(self) -> None:
+        while True:
+            with self._rot_lock:
+                if not self._rot_queue or self._dead():
+                    self._rot_queue = []
+                    self._rot_running = False
+                    self._rot_cv.notify_all()
+                    return
+                old, persist_upto = self._rot_queue.pop(0)
+            try:
+                self._persist_block(old, persist_upto)
+            except BaseException as e:  # surfaced on next insert/sync/close
+                with self._rot_lock:
+                    self._rotation_error = e
+
+    def _persist_block(self, old: "TableBlock", persist_upto: int) -> None:
+        """The writeBlock tail (table.go:436): compact the rotated block,
+        upload to the sink, mark persisted in the WAL, drop the in-memory
+        copy, snapshot, and reclaim WAL segments."""
+        # Let any in-flight background compaction of the old block finish so
+        # the snapshot below is a complete, settled part set.
+        with old.index.compacting:
+            parts = old.index.snapshot()
+        if self._dead():
+            return
+        if parts:
+            merged = self.compact_parts(parts)
+            self.db.sinks[0].upload_block(
+                self.db.name, self.name, old.id, merged.batch, self._schema
+            )
+        ptx = self.db.begin()
+        if self.db.wal is not None and not self.config.disable_wal:
+            self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
+        self.db.commit(ptx)
+        old.delete_index_files()
+        with self._lock:
+            if old in self.pending_blocks:
+                self.pending_blocks.remove(old)
+        # Every write below the replacing block's first txn now lives in a
+        # persisted block, so the WAL can reclaim those entries (db.go:1015
+        # maintainWAL) — and rotation triggers a snapshot like table.go:513.
+        self.persisted_tx = max(self.persisted_tx, persist_upto)
+        if (
+            self.db.snapshot_trigger_size
+            and self.db.snapshot_dir is not None
+            and not self._dead()
+        ):
+            from .snapshot import write_snapshot
+
+            write_snapshot(self.db, self.db.snapshot_dir)
+        self.db.maintain_wal()
+
+    def wait_for_rotations(self) -> None:
+        """Block until every queued block persist has completed; re-raises
+        a background persist failure."""
+        with self._rot_lock:
+            while self._rot_running or self._rot_queue:
+                self._rot_cv.wait(0.005)
+            if self._rotation_error is not None:
+                err, self._rotation_error = self._rotation_error, None
+                raise err
+
+    def sync(self) -> None:
+        """Wait for background work to settle: pending block persists and
+        in-flight LSM compactions (reference: table.go Sync)."""
+        self.wait_for_rotations()
+        with self._lock:
+            blocks = [self.active_block] + list(self.pending_blocks)
+        for b in blocks:
+            b.index.drain_compactions()
+
+    def join_background(self, timeout: float = 5.0) -> None:
+        """Crash-simulation support (DST): bounded, error-swallowing wait
+        for the rotation worker and compaction threads to reach quiescence
+        after a hard kill — a real crash stops them instantly; the
+        in-process simulation must wait them out before a recovered store
+        reopens the same files."""
+        import time as _t
+
+        deadline = _t.monotonic() + timeout
+        with self._rot_lock:
+            while self._rot_running and _t.monotonic() < deadline:
+                self._rot_cv.wait(0.005)
+            self._rotation_error = None
+        with self._lock:
+            blocks = [self.active_block] + list(self.pending_blocks)
+        for b in blocks:
+            b.index.join_background(max(deadline - _t.monotonic(), 0.1))
 
     # ------------------------------------------------------------------
     # Compaction (reference: table.go:1267 compactParts)
@@ -366,11 +487,20 @@ class Table:
         return wm
 
     def collect_parts(self, tx: int, include_sources: bool = False) -> list[Part]:
-        parts = list(self.active_block.index.scan(tx))
-        for blk in self.pending_blocks:
+        # One coherent snapshot of (active, pending): the source exclusion
+        # below must key off the SAME pending set this scan reads, or a
+        # concurrent background persist completing in between would serve a
+        # block from both memory and the bucket (double count).
+        with self._lock:
+            active = self.active_block
+            pend = list(self.pending_blocks)
+        parts = list(active.index.scan(tx))
+        for blk in pend:
             parts.extend(blk.index.scan(tx))
         if include_sources:
-            sp = self.source_parts()
+            sp = self.source_parts(
+                exclude={active.id} | {b.id for b in pend}
+            )
             if sp is None:
                 raise SourceWithoutBlockAPI(
                     "a data source lacks the block-granular API"
@@ -378,7 +508,7 @@ class Table:
             parts.extend(sp)
         return parts
 
-    def source_parts(self) -> Optional[list[Part]]:
+    def source_parts(self, exclude=None) -> Optional[list[Part]]:
         """Persisted blocks from every source as cached immutable parts,
         one part per row group, in (source, block id) listing order.
         Returns None when a source lacks the block API (callers fall back
@@ -386,7 +516,11 @@ class Table:
         blocks are skipped — the ULID dedup of store.go:123."""
         if self.db is None or not self.db.sources:
             return []
-        exclude = {self.active_block.id} | {b.id for b in self.pending_blocks}
+        if exclude is None:
+            with self._lock:
+                exclude = {self.active_block.id} | {
+                    b.id for b in self.pending_blocks
+                }
         out: list[Part] = []
         live_keys: set[tuple[int, str]] = set()
         final_level = DEFAULT_LEVELS[-1].level

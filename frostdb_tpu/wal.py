@@ -173,6 +173,11 @@ class FileWAL:
         table: str = "",
         block_id: str = "",
     ) -> None:
+        if self._killed:
+            # Simulated process death (hard_kill): a handle held by a
+            # lingering background worker must be inert — a real crash
+            # takes its threads with it.
+            return
         tb = table.encode("utf-8")
         bb = block_id.encode("utf-8")
         prefix = _PREFIX.pack(
@@ -221,6 +226,8 @@ class FileWAL:
         self._append(tx, KIND_SNAPSHOT, b"")
 
     def flush(self) -> None:
+        if self._killed:
+            return  # dead handle (see _append)
         if not self.sync and self._thread is not None:
             with self._cv:
                 self._cv.notify_all()
@@ -327,21 +334,55 @@ class FileWAL:
             return 0
         return int(segs[0][:-4])
 
+    def _segment_max_tx(self, path: str) -> Optional[int]:
+        """Max tx among a segment's valid frames (None when it has none).
+        Walks the same frame format replay does; stops at the first torn or
+        corrupt frame, matching what replay would actually recover."""
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+        pos = 0
+        hsize = _PREFIX.size + _CRC.size
+        mx: Optional[int] = None
+        while pos + hsize <= len(data):
+            prefix = data[pos : pos + _PREFIX.size]
+            magic, _k, tlen, blen, body_len, tx = _PREFIX.unpack(prefix)
+            if magic != _MAGIC:
+                break
+            pend = pos + hsize + tlen + blen + body_len
+            if pend > len(data):
+                break
+            (crc,) = _CRC.unpack_from(data, pos + _PREFIX.size)
+            if zlib.crc32(prefix + data[pos + hsize : pend]) & 0xFFFFFFFF != crc:
+                break
+            mx = tx if mx is None else max(mx, tx)
+            pos = pend
+        return mx
+
     def truncate(self, tx: int) -> None:
-        """Drop whole segments strictly below tx (reference: wal/wal.go:484
-        Truncate; segment-granularity like the underlying segment store)."""
+        """Drop whole segments whose entries are all strictly below tx
+        (reference: wal/wal.go:484 Truncate; segment granularity like the
+        underlying segment store).
+
+        The bound comes from each segment's CONTENT, not its filename: a
+        crash can leave a rolled-but-fully-torn (empty) segment whose name
+        overstates the previous segment's upper bound — trusting names there
+        deleted live entries (caught by the crash DST, seed 137: truncate(66)
+        removed the segment holding txns 66-79 because an empty 00066.wal
+        sat next to it)."""
+        if self._killed:
+            return  # dead handle (see _append)
         with self._lock:
-            segs = self._segments()
-            for i, seg in enumerate(segs):
-                nxt_start = (
-                    int(segs[i + 1][:-4]) if i + 1 < len(segs) else None
-                )
-                if nxt_start is not None and nxt_start <= tx:
-                    cur = os.path.join(self.dir, seg)
-                    if self._file is not None and os.path.samefile(
-                        cur, self._file.name
-                    ):
-                        continue
+            for seg in self._segments():
+                cur = os.path.join(self.dir, seg)
+                if self._file is not None and os.path.samefile(
+                    cur, self._file.name
+                ):
+                    continue
+                mx = self._segment_max_tx(cur)
+                if mx is None or mx < tx:
                     os.remove(cur)
 
     def reset(self) -> None:

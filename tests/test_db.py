@@ -144,8 +144,11 @@ def test_block_persistence_to_bucket(tmp_path):
         "t",
         TableConfig(schema=sample_definition(), active_memory_size=1),
     )
-    # active_memory_size=1 forces rotation after each insert
+    # active_memory_size=1 forces rotation after each insert; the persist
+    # runs on the rotation worker, so sync() is the barrier before
+    # inspecting the bucket (reference: table.Sync).
     table.insert_record(_make_batch(table))
+    table.sync()
     assert bucket.blocks("test", "t"), "block not uploaded"
     table.insert_record(_make_batch(table, ts_start=10))
     assert _query_sum(db, "t") == 12

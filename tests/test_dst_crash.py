@@ -142,7 +142,11 @@ def test_dst_crash(tmp_path, seed):
                 )
                 with open(bogus, "wb") as f:
                     f.write(b"FDBT" + bytes(rng.integers(0, 256, 64).astype(np.uint8)))
-            # no close(): abandon the rest of the store's state
+            # no close(): abandon the rest of the store's state. A real
+            # crash stops background threads instantly; the in-process
+            # simulation waits the (now frozen) workers out so the dead
+            # store can't race the recovered one on shared files.
+            db.join_background()
             store, db, table = _open(path, bucket)
 
     assert kills > 0, "seed produced no kills; widen N_COMMANDS"
@@ -151,6 +155,7 @@ def test_dst_crash(tmp_path, seed):
     lost_txns = db.wal.hard_kill(partial_writes=int(rng.integers(0, 6)))
     for tx in lost_txns:
         may_be_lost.update(rows_by_tx.get(tx, ()))
+    db.join_background()
     store, db, table = _open(path, bucket)
     got = _read_timestamps(db)
 

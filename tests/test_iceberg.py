@@ -189,8 +189,9 @@ def test_iceberg_upload_scan_roundtrip(tmp_path):
     table = db.table(
         "t", TableConfig(schema=sample_definition(), active_memory_size=1)
     )
-    table.insert_record(_batch(table))  # rotates + uploads
+    table.insert_record(_batch(table))  # rotates + uploads (on the worker)
     table.insert_record(_batch(table, ts_start=10))
+    table.sync()
     assert cat.prefixes("test") == ["t"]
     assert _query_sum(db) == 12
     store.close()
