@@ -110,9 +110,16 @@ class DB:
         if self.store is not None and self.store.metrics is not None:
             t.metrics = self.store.metrics.table_metrics(self.name, name)
         tx = self.begin()
-        if self.wal is not None and not config.disable_wal:
-            self.wal.log_new_table_block(tx, name, t.active_block.id, config)
-        self.commit(tx)
+        try:
+            if self.wal is not None and not config.disable_wal:
+                self.wal.log_new_table_block(
+                    tx, name, t.active_block.id, config
+                )
+        finally:
+            # Always commit (even on an EIO'd log): a holed txn would
+            # freeze the watermark; writes are block-id-stamped so replay
+            # does not depend on this advisory entry.
+            self.commit(tx)
         self.tables[name] = t
         return t
 
@@ -206,7 +213,11 @@ class ColumnStore:
         wal_segment_size: Optional[int] = None,
         wal_sync: bool = True,
         background_threads: bool = True,
+        fault_injector=None,
     ):
+        # Write-fault injection for the DST (reference: dst/vfs/fs.go:24):
+        # wired into the WAL, disk index levels, and snapshot writer.
+        self.fault_injector = fault_injector
         # Rotation persists and LSM compactions run on worker threads (the
         # reference's `go t.writeBlock` / `go l.compact`); False forces the
         # fully-synchronous single-threaded mode.
@@ -256,6 +267,7 @@ class ColumnStore:
                 repair_counter=(
                     self.metrics.wal_repairs if self.metrics else None
                 ),
+                injector=self.fault_injector,
             )
 
         d = DB(

@@ -34,7 +34,7 @@ class DiskLevel:
     """A directory-backed level of the LSM (reference: index/levels.go:30
     FileCompaction)."""
 
-    def __init__(self, directory: str, level: int, is_dead=None):
+    def __init__(self, directory: str, level: int, is_dead=None, injector=None):
         self.dir = directory
         self.level = level
         os.makedirs(directory, exist_ok=True)
@@ -46,12 +46,18 @@ class DiskLevel:
         # with it. Checked at the write boundary; no handle is retained
         # across writes for the same reason.
         self.is_dead = is_dead
+        # Write-fault injection (dst/vfs/fs.go:24 analogue).
+        self.injector = injector
 
     def _files(self) -> list[str]:
+        try:
+            names = os.listdir(self.dir)
+        except FileNotFoundError:
+            # The block's index dir can be deleted by a completed persist
+            # whose tail (WAL maintenance) failed and is being retried.
+            return []
         return sorted(
-            f
-            for f in os.listdir(self.dir)
-            if f.endswith(".parquet") and f[:-8].isdigit()
+            f for f in names if f.endswith(".parquet") and f[:-8].isdigit()
         )
 
     def _max_seq(self) -> int:
@@ -83,11 +89,33 @@ class DiskLevel:
         pq.write_table(table, buf, compression="zstd")
         payload = buf.getvalue()
         self._ensure_active()
+        from .faults import faulty_append, faulty_fsync
+
+        os.makedirs(self.dir, exist_ok=True)
         with open(self._active_path, "ab") as f:
-            f.write(payload)
-            f.write(_U64.pack(len(payload)))
-            f.flush()
-            os.fsync(f.fileno())
+            pre = f.tell()
+            try:
+                faulty_append(
+                    f,
+                    payload + _U64.pack(len(payload)),
+                    self.injector,
+                    "index append",
+                )
+                f.flush()
+                faulty_fsync(f.fileno(), self.injector, "index fsync")
+            except OSError:
+                # Roll back to the pre-write size: replay repairs tears only
+                # at the END of a file, so a failed append must never be
+                # followed by further appends.
+                try:
+                    f.flush()
+                except OSError:
+                    pass
+                try:
+                    f.truncate(pre)
+                except OSError:
+                    pass
+                raise
 
     def rotate_file(self) -> None:
         """Seal the active index file name (done at snapshot time so sealed

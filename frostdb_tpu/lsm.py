@@ -178,9 +178,6 @@ class LSM:
         """Prepend an L0 part (reference: index/lsm.go:332 Add)."""
         part = Part(batch, tx, 0)
         with self._lock:
-            if self._bg_error is not None:
-                err, self._bg_error = self._bg_error, None
-                raise err
             self.levels[0].insert(0, part)
         if self.background:
             self._schedule_compact()

@@ -88,6 +88,14 @@ def recover_db(db, path: str) -> None:
             table.active_block = TableBlock(
                 table, _fresh_block_id(), min_tx=snapshot_tx
             )
+        # Snapshot-restored PENDING blocks the bucket already owns would
+        # double-count with the bucket scan the same way.
+        with table._lock:
+            table.pending_blocks = [
+                b
+                for b in table.pending_blocks
+                if b.id not in persisted.get(name, set())
+            ]
 
     # Pass 2: recreate tables and re-insert surviving writes.
     current_block: dict[str, str] = {}
@@ -146,6 +154,15 @@ def recover_db(db, path: str) -> None:
                 table.active_block.disk_level.delete_all()
             table.active_block.id = _fresh_block_id()
             table.active_block.reattach_disk()
+        # Resume persists for snapshot-restored pending blocks (their
+        # rotation's upload never completed): upto=0 keeps persisted_tx
+        # conservative — the WAL holds their entries until a snapshot or
+        # their own persist marker covers them.
+        if db.sinks:
+            with table._lock:
+                pend = list(table.pending_blocks)
+            for b in pend:
+                table.enqueue_persist(b, 0)
 
     db.reset_to_txn(max(snapshot_tx, last_tx))
 

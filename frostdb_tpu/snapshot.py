@@ -35,6 +35,44 @@ def snapshot_path(directory: str, tx: int) -> str:
     return os.path.join(directory, f"{tx:020d}.fdbt")
 
 
+def _snapshot_block(f, block, tx, directory, name, pend_id, meta, offset):
+    """Serialize one TableBlock into the open snapshot file: inline parts
+    below the disk level, hard-link the disk level's files. One consistent
+    cut per block: a background compaction splicing between the part
+    enumeration and the index-file link would put the merged rows in the
+    linked files while their sources are inlined (duplicates at recovery,
+    caught by the crash DST seed 137) — ``compacting`` excludes the
+    spill+splice window."""
+    disk = block.disk_level
+    with block.index.compacting:
+        for part in block.index.snapshot():
+            if part.tx > tx:
+                continue
+            if disk is not None and part.compaction_level >= disk.level:
+                # Covered by hard-linked index files below — not copied
+                # (design/index_files.md Snapshots; snapshot.go:730).
+                continue
+            payload = batch_to_ipc(part.batch)
+            f.write(payload)
+            meta["parts"].append(
+                {
+                    "tx": part.tx,
+                    "level": part.compaction_level,
+                    "offset": offset,
+                    "length": len(payload),
+                }
+            )
+            offset += len(payload)
+        if disk is not None:
+            parts_dir = [name] if pend_id is None else [name, pend_id]
+            link_dir = os.path.join(
+                directory, f"{tx:020d}.index", *parts_dir, str(disk.level)
+            )
+            meta["index_files"] = disk.snapshot_link(link_dir)
+            meta["index_level"] = disk.level
+    return offset
+
+
 def write_snapshot(db, directory: str) -> int:
     """reference: snapshot.go:395 WriteSnapshot. Returns the snapshot tx."""
     os.makedirs(directory, exist_ok=True)
@@ -46,54 +84,42 @@ def write_snapshot(db, directory: str) -> int:
         f.write(MAGIC)
         offset = len(MAGIC)
         for name, table in db.tables.items():
-            block = table.active_block
+            with table._lock:
+                active = table.active_block
+                pending = list(table.pending_blocks)
             tmeta = {
                 "name": name,
                 "config": table.config.to_dict(),
-                "active_block_id": block.id,
+                "active_block_id": active.id,
                 "parts": [],
                 "index_files": [],
+                # Rotated-but-unpersisted blocks: their rows live ONLY in
+                # memory (and the WAL), so the snapshot must carry them or
+                # its coverage claim — and the WAL truncation based on it —
+                # would silently drop them (caught by the EIO DST: a persist
+                # failing with EIO strands the block in pending).
+                "pending": [],
             }
-            disk = block.disk_level
-            # One consistent cut per table: a background compaction splicing
-            # between the part enumeration and the index-file link would put
-            # the merged rows in the linked files while their sources are
-            # inlined (duplicates at recovery, caught by the crash DST seed
-            # 137). ``compacting`` excludes the spill+splice window.
-            with block.index.compacting:
-                for part in block.index.snapshot():
-                    if part.tx > tx:
-                        continue
-                    if disk is not None and part.compaction_level >= disk.level:
-                        # Covered by hard-linked index files below — not
-                        # copied (design/index_files.md Snapshots;
-                        # snapshot.go:730).
-                        continue
-                    payload = batch_to_ipc(part.batch)
-                    f.write(payload)
-                    tmeta["parts"].append(
-                        {
-                            "tx": part.tx,
-                            "level": part.compaction_level,
-                            "offset": offset,
-                            "length": len(payload),
-                        }
-                    )
-                    offset += len(payload)
-                if disk is not None:
-                    link_dir = os.path.join(
-                        directory, f"{tx:020d}.index", name, str(disk.level)
-                    )
-                    # A snapshot at this tx may already exist: recovery
-                    # resets the watermark, so a post-recovery snapshot can
-                    # reuse a previous incarnation's tx. Stale links left in
-                    # place would be loaded alongside the fresh ones
-                    # (duplicates — caught by the crash DST, seed 137).
-                    import shutil as _shutil
+            # A snapshot at this tx may already exist: recovery resets the
+            # watermark, so a post-recovery snapshot can reuse a previous
+            # incarnation's tx. Stale links left in place would be loaded
+            # alongside the fresh ones (duplicates — caught by the crash
+            # DST, seed 137).
+            import shutil as _shutil
 
-                    _shutil.rmtree(link_dir, ignore_errors=True)
-                    tmeta["index_files"] = disk.snapshot_link(link_dir)
-                    tmeta["index_level"] = disk.level
+            _shutil.rmtree(
+                os.path.join(directory, f"{tx:020d}.index", name),
+                ignore_errors=True,
+            )
+            offset = _snapshot_block(
+                f, active, tx, directory, name, None, tmeta, offset
+            )
+            for blk in pending:
+                bmeta = {"id": blk.id, "parts": [], "index_files": []}
+                offset = _snapshot_block(
+                    f, blk, tx, directory, name, blk.id, bmeta, offset
+                )
+                tmeta["pending"].append(bmeta)
             footer["tables"].append(tmeta)
         fb = json.dumps(footer).encode("utf-8")
         f.write(fb)
@@ -102,6 +128,18 @@ def write_snapshot(db, directory: str) -> int:
         f.write(MAGIC)
         f.flush()
         os.fsync(f.fileno())
+    inj = getattr(getattr(db, "store", None), "fault_injector", None)
+    if inj is not None and inj.snapshot_fails():
+        # Injected EIO before the atomic publish (dst/vfs/fs.go:24
+        # analogue): the torn tmp never becomes visible and no state
+        # (last_snapshot_tx, WAL truncation) advances.
+        from .faults import eio
+
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise eio("snapshot write")
     os.replace(tmp, path)
     if db.wal is not None:
         db.wal.log_snapshot(tx)
@@ -211,6 +249,42 @@ def load_snapshot(db, directory: str) -> int:
                     table.active_block.index.insert_part(part)
                     if disk is not None:
                         disk.write_part(part)
+        # Rotated-but-unpersisted blocks carried by the snapshot: restore
+        # them WITH their identity so the bucket dedup (recovery) and the
+        # source-part exclusion keep working; recovery re-enqueues their
+        # persist.
+        from .table import TableBlock
+        from .disklevel import DiskLevel
+
+        for bmeta in tmeta.get("pending", ()):
+            blk = TableBlock(table, bmeta["id"], min_tx=0)
+            if blk.disk_level is not None:
+                blk.disk_level.delete_all()
+            for pmeta in bmeta["parts"]:
+                payload = data[pmeta["offset"] : pmeta["offset"] + pmeta["length"]]
+                rb = ipc_to_arrow(payload)
+                batch = ColumnBatch.from_arrow(
+                    rb, get_dictionary=table.dictionary
+                )
+                blk.index.insert_part(Part(batch, pmeta["tx"], pmeta["level"]))
+            if bmeta.get("index_files"):
+                level = bmeta.get("index_level", 2)
+                link_dir = os.path.join(
+                    directory,
+                    f"{tx:020d}.index",
+                    tmeta["name"],
+                    bmeta["id"],
+                    str(level),
+                )
+                if os.path.isdir(link_dir):
+                    snap_level = DiskLevel(link_dir, level)
+                    for part in snap_level.recover(
+                        table.dictionary, only=set(bmeta["index_files"])
+                    ):
+                        blk.index.insert_part(part)
+                        if blk.disk_level is not None:
+                            blk.disk_level.write_part(part)
+            table.pending_blocks.append(blk)
     db.reset_to_txn(tx)
     return tx
 

@@ -113,6 +113,7 @@ class TableBlock:
                 os.path.join(d, self.id, str(final)),
                 final,
                 is_dead=table._dead,
+                injector=table._fault_injector(),
             )
         self._final_level = final
 
@@ -147,6 +148,7 @@ class TableBlock:
             os.path.join(d, self.id, str(self._final_level)),
             self._final_level,
             is_dead=self.table._dead,
+            injector=self.table._fault_injector(),
         )
 
     def delete_index_files(self) -> None:
@@ -191,6 +193,11 @@ class Table:
         self._rot_lock = threading.Lock()
         self._rot_cv = threading.Condition(self._rot_lock)
         self._rot_queue: list = []
+        # Jobs whose persist failed (e.g. sink/WAL EIO): retried at the next
+        # rotate/sync; while any exists, persisted_tx must not advance (a
+        # later successful persist would otherwise claim durability for the
+        # stranded block's WAL range).
+        self._rot_stranded: list = []
         self._rot_running = False
         self._rotation_error: BaseException | None = None
         self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=0)
@@ -263,12 +270,27 @@ class Table:
         else:
             tx = 1
 
-        if self.db is not None and self.db.wal is not None and not self.config.disable_wal:
-            self.db.wal.log_record(tx, self.name, batch, self.active_block.id)
-            if self.db.store is not None and self.db.store.metrics is not None:
-                self.db.store.metrics.wal_records_logged.inc()
+        try:
+            if (
+                self.db is not None
+                and self.db.wal is not None
+                and not self.config.disable_wal
+            ):
+                self.db.wal.log_record(
+                    tx, self.name, batch, self.active_block.id
+                )
+                if self.db.store is not None and self.db.store.metrics is not None:
+                    self.db.store.metrics.wal_records_logged.inc()
 
-        self.active_block.insert(tx, batch)
+            self.active_block.insert(tx, batch)
+        except BaseException:
+            # Abort: nothing was inserted at this txn, but its id must still
+            # commit or the watermark would hole forever behind it (an EIO'd
+            # WAL append would otherwise freeze visibility for all later
+            # writes — caught by the EIO DST).
+            if self.db is not None:
+                self.db.commit(tx)
+            raise
 
         if self.db is not None:
             self.db.commit(tx)
@@ -283,7 +305,15 @@ class Table:
             # Insert-triggered rotation never blocks the inserter when
             # background threads are on (the reference's `go t.writeBlock`,
             # table.go:621); explicit rotate_block() calls stay synchronous.
-            self.rotate_block(wait=not self._background)
+            # A rotation failure must NOT fail this (already durable,
+            # already acknowledged) insert — it surfaces on the next
+            # insert/sync instead (caught by the EIO DST: raising here made
+            # callers treat a committed row as lost).
+            try:
+                self.rotate_block(wait=not self._background)
+            except BaseException as e:
+                with self._rot_lock:
+                    self._rotation_error = e
         return tx
 
     def rotate_block(self, wait: bool = True) -> None:
@@ -300,26 +330,47 @@ class Table:
             old = self.active_block
             tx = self.db.begin() if self.db is not None else 1
             self.active_block = TableBlock(self, str(uuid.uuid4()), min_tx=tx)
-            if self.db is not None:
-                if self.db.wal is not None and not self.config.disable_wal:
-                    self.db.wal.log_new_table_block(
-                        tx, self.name, self.active_block.id, self.config
-                    )
-                self.db.commit(tx)
             persist_upto = self.active_block.min_tx - 1
-            # Readable until persisted (or forever when there is no sink).
+            # Readable until persisted (or forever when there is no sink) —
+            # registered BEFORE the WAL log so an EIO there can't hide it.
             self.pending_blocks.append(old)
+            if self.db is not None:
+                try:
+                    if self.db.wal is not None and not self.config.disable_wal:
+                        self.db.wal.log_new_table_block(
+                            tx, self.name, self.active_block.id, self.config
+                        )
+                finally:
+                    # Always commit (even on an EIO'd log): a holed txn
+                    # would freeze the watermark. The entry is advisory —
+                    # every write is block-id-stamped, so replay does not
+                    # depend on it.
+                    self.db.commit(tx)
         if self.metrics is not None:
             self.metrics.rotations.inc()
         if self.db is None or not self.db.sinks:
             return
+        self.enqueue_persist(old, persist_upto)
+        if wait:
+            self.wait_for_rotations()
+
+    def enqueue_persist(self, old: "TableBlock", persist_upto: int) -> None:
+        """Queue a block persist on the rotation worker (also used by
+        recovery to resume snapshot-restored pending blocks). Stranded
+        (previously failed) jobs re-queue first so persists stay FIFO."""
         with self._rot_lock:
+            if self._rot_stranded:
+                self._rot_queue = self._rot_stranded + self._rot_queue
+                self._rot_stranded = []
             self._rot_queue.append((old, persist_upto))
             if not self._rot_running:
                 self._rot_running = True
                 threading.Thread(target=self._rotation_loop, daemon=True).start()
-        if wait:
-            self.wait_for_rotations()
+
+    def _fault_injector(self):
+        if self.db is not None and getattr(self.db, "store", None) is not None:
+            return getattr(self.db.store, "fault_injector", None)
+        return None
 
     def _dead(self) -> bool:
         """True once the owning store was hard-killed (DST crash
@@ -342,6 +393,7 @@ class Table:
             except BaseException as e:  # surfaced on next insert/sync/close
                 with self._rot_lock:
                     self._rotation_error = e
+                    self._rot_stranded.append((old, persist_upto))
 
     def _persist_block(self, old: "TableBlock", persist_upto: int) -> None:
         """The writeBlock tail (table.go:436): compact the rotated block,
@@ -359,9 +411,14 @@ class Table:
                 self.db.name, self.name, old.id, merged.batch, self._schema
             )
         ptx = self.db.begin()
-        if self.db.wal is not None and not self.config.disable_wal:
-            self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
-        self.db.commit(ptx)
+        try:
+            if self.db.wal is not None and not self.config.disable_wal:
+                self.db.wal.log_table_block_persisted(ptx, self.name, old.id)
+        finally:
+            # Always commit, even on an EIO'd marker: a holed txn would
+            # freeze the watermark (caught by the EIO DST). Recovery proves
+            # persistence from the bucket listing when the marker is lost.
+            self.db.commit(ptx)
         old.delete_index_files()
         with self._lock:
             if old in self.pending_blocks:
@@ -369,7 +426,12 @@ class Table:
         # Every write below the replacing block's first txn now lives in a
         # persisted block, so the WAL can reclaim those entries (db.go:1015
         # maintainWAL) — and rotation triggers a snapshot like table.go:513.
-        self.persisted_tx = max(self.persisted_tx, persist_upto)
+        # Gated on no stranded earlier persist: advancing past a block whose
+        # upload failed would let the WAL drop its only durable copy.
+        with self._rot_lock:
+            stranded = bool(self._rot_stranded)
+        if not stranded:
+            self.persisted_tx = max(self.persisted_tx, persist_upto)
         if (
             self.db.snapshot_trigger_size
             and self.db.snapshot_dir is not None
@@ -392,7 +454,17 @@ class Table:
 
     def sync(self) -> None:
         """Wait for background work to settle: pending block persists and
-        in-flight LSM compactions (reference: table.go Sync)."""
+        in-flight LSM compactions (reference: table.go Sync). Stranded
+        persists get one retry first."""
+        with self._rot_lock:
+            if self._rot_stranded:
+                self._rot_queue = self._rot_stranded + self._rot_queue
+                self._rot_stranded = []
+                if not self._rot_running:
+                    self._rot_running = True
+                    threading.Thread(
+                        target=self._rotation_loop, daemon=True
+                    ).start()
         self.wait_for_rotations()
         with self._lock:
             blocks = [self.active_block] + list(self.pending_blocks)

@@ -83,6 +83,7 @@ class FileWAL:
         sync: bool = True,
         segment_size: int = SEGMENT_MAX_BYTES,
         repair_counter=None,
+        injector=None,
     ):
         """sync=True: every entry is fsync'd before the call returns.
         sync=False: entries enqueue to a background batcher thread that
@@ -104,6 +105,10 @@ class FileWAL:
         # Registry counter mirroring ``repairs`` (reference: repairs_total,
         # wal/wal.go:216) so repairs surface in MetricsRegistry.expose().
         self._repair_counter = repair_counter
+        # Write-fault injection (reference: dst/vfs/fs.go:24) — EIO raised
+        # mid-append; the write sites truncate back to their pre-write size
+        # so an injected fault can never leave a torn MIDDLE for replay.
+        self._injector = injector
         self._queue: list[tuple[int, bytes]] = []
         self._cv = threading.Condition()
         self._closing = False
@@ -127,19 +132,37 @@ class FileWAL:
                 closing = self._closing
             if batch:
                 batch.sort(key=lambda e: e[0])
+                failed_at = None
                 with self._lock:
-                    for tx, frame in batch:
+                    for i, (tx, frame) in enumerate(batch):
                         if (
                             self._file is None
                             or self._segment_size > self.segment_size
                         ):
                             self._open_segment(tx)
-                        self._file.write(frame)
-                        self._segment_size += len(frame)
-                    self._file.flush()
-                    os.fsync(self._file.fileno())
+                        try:
+                            self._write_frame_rollback(frame)
+                        except OSError:
+                            failed_at = i
+                            break
+                    if self._file is not None:
+                        self._file.flush()
+                        try:
+                            os.fsync(self._file.fileno())
+                        except OSError:
+                            pass  # retried with the next batch's fsync
                 with self._cv:
+                    if failed_at is not None:
+                        # Re-queue the failed frame and everything after it;
+                        # the batcher retries on its next wakeup (acks in
+                        # async mode precede durability anyway — entries are
+                        # lossable only at a crash, never silently dropped).
+                        self._queue = batch[failed_at:] + self._queue
                     self._cv.notify_all()
+                if failed_at is not None:
+                    import time as _t
+
+                    _t.sleep(0.001)
             if closing and not batch:
                 return
 
@@ -194,11 +217,50 @@ class FileWAL:
         with self._lock:
             if self._file is None or self._segment_size > self.segment_size:
                 self._open_segment(tx)
-            self._file.write(frame)
-            self._segment_size += len(frame)
+            self._write_frame_rollback(frame)
             if self.sync:
                 self._file.flush()
-                os.fsync(self._file.fileno())
+                pre = os.fstat(self._file.fileno()).st_size
+                from .faults import faulty_fsync
+
+                try:
+                    faulty_fsync(
+                        self._file.fileno(), self._injector, "wal fsync"
+                    )
+                except OSError:
+                    # Not provably durable: roll the frame back so the ack
+                    # contract (sync=True ⇒ durable) holds.
+                    self._rollback_to(pre - len(frame))
+                    self._segment_size -= len(frame)
+                    raise
+
+    def _write_frame_rollback(self, frame: bytes) -> None:
+        """Append one frame; on (injected or real) EIO, truncate back to the
+        pre-write size — replay's torn-tail repair only handles tears at the
+        END, so a failed append must never be followed by more appends."""
+        from .faults import faulty_append
+
+        # fstat, not tell(): a prior rollback truncate leaves the buffered
+        # position stale, and an overstated pre-size would strand a torn
+        # frame in the MIDDLE of the segment (caught by the EIO DST).
+        self._file.flush()
+        pre = os.fstat(self._file.fileno()).st_size
+        try:
+            faulty_append(self._file, frame, self._injector, "wal append")
+        except OSError:
+            self._rollback_to(pre)
+            raise
+        self._segment_size += len(frame)
+
+    def _rollback_to(self, size: int) -> None:
+        try:
+            self._file.flush()
+        except OSError:
+            pass
+        try:
+            self._file.truncate(max(size, 0))
+        except OSError:
+            pass
 
     def log_record(self, tx: int, table: str, batch, block_id: str = "") -> None:
         # The owning block id is stamped on every write so recovery can skip

@@ -130,7 +130,14 @@ def test_rotation_failure_surfaces_on_next_insert(tmp_path):
     table.insert_record(_make_batch(table))
     with pytest.raises(OSError, match="injected sink failure"):
         table.wait_for_rotations()
-    # The failed block was NOT dropped: its rows stay readable from memory.
+    # The failed block was NOT dropped: its rows stay readable from memory,
+    # and persisted_tx must not advance past the stranded persist.
+    assert _query_sum(db) == 10
+    assert table.persisted_tx == 0
+    # Once the sink heals, sync() retries the stranded job and it persists.
+    bucket.fail = False
+    table.sync()
+    assert bucket.uploads >= 1
     assert _query_sum(db) == 10
     store.close()
 

@@ -159,6 +159,18 @@ def test_dst_crash(tmp_path, seed):
     store, db, table = _open(path, bucket)
     got = _read_timestamps(db)
 
+    # Torn-tail repairs performed during this recovery surface in the
+    # metrics exposition (VERDICT: the wal_repairs registry counter must be
+    # live, not decorative).
+    if db.wal.repairs:
+        expo = store.metrics.expose()
+        assert "frostdb_tpu_wal_repairs_total" in expo
+        line = [
+            l for l in expo.splitlines()
+            if l.startswith("frostdb_tpu_wal_repairs_total")
+        ][0]
+        assert float(line.split()[-1]) >= db.wal.repairs
+
     written = set(range(next_ts))
     got_set = set(got)
     assert len(got) == len(got_set), "duplicated rows after crash recovery"
