@@ -573,7 +573,12 @@ class ColumnBatch:
     # ------------------------------------------------------------------
     # Arrow interop
 
-    def to_arrow(self) -> pa.RecordBatch:
+    def to_arrow(self, schema=None) -> pa.RecordBatch:
+        """Arrow output. With a ``Schema`` whose definition has nested
+        groups (v1alpha2), the group's dotted leaf columns re-nest into one
+        StructArray per group — the struct round-trip at the Arrow edge
+        (reference: dynparquet/schema.go:259 accepts nested definitions;
+        record_builder.go builds struct fields)."""
         arrays = []
         fields = []
 
@@ -598,7 +603,33 @@ class ColumnBatch:
                 return pa.array(c.values, type=pa.uint64(), mask=mask)
             return pa.array(c.values, type=pa.int64(), mask=mask)
 
+        group_names = []
+        if schema is not None and getattr(schema, "groups", None):
+            group_names = [g.name for g in schema.groups()]
+
+        emitted_groups: set[str] = set()
         for c in self.columns:
+            gname = c.name.split(".", 1)[0] if "." in c.name else None
+            if gname in group_names:
+                if gname in emitted_groups:
+                    continue
+                emitted_groups.add(gname)
+                members = [
+                    m
+                    for m in self.columns
+                    if m.name.startswith(gname + ".")
+                ]
+                child_arrays = [convert(m) for m in members]
+                child_fields = [
+                    pa.field(m.name.split(".", 1)[1], a.type, nullable=True)
+                    for m, a in zip(members, child_arrays)
+                ]
+                struct = pa.StructArray.from_arrays(
+                    child_arrays, fields=child_fields
+                )
+                arrays.append(struct)
+                fields.append(pa.field(gname, struct.type, nullable=True))
+                continue
             arr = convert(c)
             arrays.append(arr)
             fields.append(pa.field(c.name, arr.type, nullable=True))
@@ -681,10 +712,31 @@ class ColumnBatch:
                 return Column(name, KIND_INT64, vals, np_valid)
             raise ValueError(f"unsupported arrow type {arr.type} for column {name}")
 
+        def convert_field(name: str, arr: pa.Array) -> list[Column]:
+            t = arr.type
+            if pa.types.is_struct(t):
+                # Nested groups (v1alpha2) flatten to dotted leaf columns;
+                # a null struct row nulls every child (parent validity
+                # intersects the children's).
+                parent_valid = np.asarray(arr.is_valid())
+                out: list[Column] = []
+                for j in range(t.num_fields):
+                    child_name = f"{name}.{t.field(j).name}"
+                    for col in convert_field(child_name, arr.field(j)):
+                        col.validity = col.validity & parent_valid
+                        if col.kind not in (KIND_LIST,):
+                            col.values = np.where(
+                                col.validity, col.values,
+                                col.values.dtype.type(0),
+                            )
+                        out.append(col)
+                return out
+            return [convert(name, arr)]
+
         cols: list[Column] = []
         n = rb.num_rows
         for i, f in enumerate(rb.schema):
-            cols.append(convert(f.name, rb.column(i)))
+            cols.extend(convert_field(f.name, rb.column(i)))
         return ColumnBatch(cols, n)
 
 

@@ -76,8 +76,84 @@ class SortingColumnDef:
 
 
 @dataclass(frozen=True)
+class GroupDef:
+    """A nested group of columns (reference: schemapb v1alpha2
+    Node/Group, dynparquet/schema.go:259 SchemaFromDefinition — the
+    reference accepts flat v1alpha1 and nested v1alpha2 definitions).
+    Groups flatten to dotted leaf columns (``group.leaf``) for storage and
+    querying; the group structure round-trips at the Arrow edges
+    (``ColumnBatch.to_arrow(schema=...)`` re-nests into struct arrays)."""
+
+    name: str
+    nodes: tuple  # ColumnDef | GroupDef
+    nullable: bool = False
+
+
+def _flatten_nodes(prefix: str, nodes) -> list[ColumnDef]:
+    out: list[ColumnDef] = []
+    for n in nodes:
+        if isinstance(n, GroupDef):
+            out.extend(_flatten_nodes(prefix + n.name + ".", n.nodes))
+        else:
+            out.append(replace(n, name=prefix + n.name))
+    return out
+
+
+def flatten_definition(d: "SchemaDef") -> "SchemaDef":
+    """Expand nested groups into dotted leaf ColumnDefs; identity for flat
+    definitions (reference: record_builder.go struct fields become
+    name-mangled parquet leaves)."""
+    if not any(isinstance(c, GroupDef) for c in d.columns):
+        return d
+    return replace(d, columns=tuple(_flatten_nodes("", d.columns)))
+
+
+def _column_to_dict(c) -> dict:
+    if isinstance(c, GroupDef):
+        return {
+            "name": c.name,
+            "group": [_column_to_dict(n) for n in c.nodes],
+            "nullable": c.nullable,
+        }
+    return {
+        "name": c.name,
+        "layout": {
+            "type": c.layout.type,
+            "nullable": c.layout.nullable,
+            "encoding": c.layout.encoding,
+            "compression": c.layout.compression,
+            "repeated": c.layout.repeated,
+        },
+        "dynamic": c.dynamic,
+        "prehash": c.prehash,
+    }
+
+
+def _column_from_dict(c: dict):
+    if "group" in c:
+        return GroupDef(
+            name=c["name"],
+            nodes=tuple(_column_from_dict(n) for n in c["group"]),
+            nullable=c.get("nullable", False),
+        )
+    return ColumnDef(
+        name=c["name"],
+        layout=StorageLayout(
+            type=c["layout"]["type"],
+            nullable=c["layout"].get("nullable", False),
+            encoding=c["layout"].get("encoding", ENCODING_PLAIN),
+            compression=c["layout"].get("compression", COMPRESSION_NONE),
+            repeated=c["layout"].get("repeated", False),
+        ),
+        dynamic=c.get("dynamic", False),
+        prehash=c.get("prehash", False),
+    )
+
+
+@dataclass(frozen=True)
 class SchemaDef:
-    """Serializable schema definition (reference: schemapb.Schema)."""
+    """Serializable schema definition (reference: schemapb.Schema; columns
+    may contain nested GroupDefs — the v1alpha2 form)."""
 
     name: str
     columns: tuple[ColumnDef, ...]
@@ -86,21 +162,7 @@ class SchemaDef:
     def to_dict(self) -> dict:
         return {
             "name": self.name,
-            "columns": [
-                {
-                    "name": c.name,
-                    "layout": {
-                        "type": c.layout.type,
-                        "nullable": c.layout.nullable,
-                        "encoding": c.layout.encoding,
-                        "compression": c.layout.compression,
-                        "repeated": c.layout.repeated,
-                    },
-                    "dynamic": c.dynamic,
-                    "prehash": c.prehash,
-                }
-                for c in self.columns
-            ],
+            "columns": [_column_to_dict(c) for c in self.columns],
             "sorting_columns": [
                 {
                     "name": s.name,
@@ -115,21 +177,7 @@ class SchemaDef:
     def from_dict(d: dict) -> "SchemaDef":
         return SchemaDef(
             name=d["name"],
-            columns=tuple(
-                ColumnDef(
-                    name=c["name"],
-                    layout=StorageLayout(
-                        type=c["layout"]["type"],
-                        nullable=c["layout"].get("nullable", False),
-                        encoding=c["layout"].get("encoding", ENCODING_PLAIN),
-                        compression=c["layout"].get("compression", COMPRESSION_NONE),
-                        repeated=c["layout"].get("repeated", False),
-                    ),
-                    dynamic=c.get("dynamic", False),
-                    prehash=c.get("prehash", False),
-                )
-                for c in d["columns"]
-            ),
+            columns=tuple(_column_from_dict(c) for c in d["columns"]),
             sorting_columns=tuple(
                 SortingColumnDef(
                     name=s["name"],
@@ -167,8 +215,19 @@ class Schema:
     """
 
     def __init__(self, definition: SchemaDef):
-        self.def_ = definition
-        self._by_name: dict[str, ColumnDef] = {c.name: c for c in definition.columns}
+        # Nested v1alpha2-style groups flatten to dotted leaf columns; the
+        # original (possibly nested) definition is kept for struct
+        # round-trips at the Arrow edges.
+        self.nested_def = definition
+        self.def_ = flatten_definition(definition)
+        self._by_name: dict[str, ColumnDef] = {
+            c.name: c for c in self.def_.columns
+        }
+
+    def groups(self) -> list[GroupDef]:
+        return [
+            c for c in self.nested_def.columns if isinstance(c, GroupDef)
+        ]
 
     # -- basic lookups ----------------------------------------------------
 
