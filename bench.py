@@ -116,16 +116,129 @@ def main() -> None:
     dt, iters = run_chain(8 if on_tpu else 1, 40)
     rows_per_sec = n * iters / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "filter_hashagg_input_rows_per_sec_per_chip",
-                "value": rows_per_sec,
-                "unit": "rows/s",
-                "vs_baseline": rows_per_sec / 1e9,
-            }
+    result = {
+        "metric": "filter_hashagg_input_rows_per_sec_per_chip",
+        "value": rows_per_sec,
+        "unit": "rows/s",
+        "vs_baseline": rows_per_sec / 1e9,
+    }
+    try:
+        result.update(engine_bench(on_tpu))
+    except Exception as e:  # the contract metric must survive
+        result["engine_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result))
+
+
+def engine_bench(on_tpu: bool) -> dict:
+    """Engine-path serving throughput (VERDICT r2 item 6): the SAME query
+    shape executed through ``LocalEngine`` over a multi-part device-cached
+    Table on the compiled serving path — per-part kernel dispatch, compact
+    code remap, emission epilogue and the single blob fetch all included.
+
+    Each query pays one device->host fetch; through the axon tunnel that is
+    a ~25 ms network RTT a local host would not pay, so the RTT (measured
+    on a tiny fetch) is reported separately and subtracted for the
+    compute-side number. Unique literals per query defeat the terminal's
+    (executable, inputs) memoization."""
+    import time
+
+    import jax.numpy as jnp
+
+    from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
+    from frostdb_tpu.db import ColumnStore
+    from frostdb_tpu.query import expr as E
+    from frostdb_tpu.query.engine import LocalEngine
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.table import TableConfig
+
+    num_codes = 64
+    n_parts = 8 if on_tpu else 2
+    rows_per_part = (1 << 21) if on_tpu else (1 << 15)
+    store = ColumnStore()
+    db = store.db("bench")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    rng = np.random.default_rng(0)
+    for _p in range(n_parts):
+        n_rows = rows_per_part
+        d_et = table.dictionary("example_type")
+        d_l = table.dictionary("labels")
+        d_st = table.dictionary("stacktrace")
+        et, etv = d_et.encode(["cpu"])
+        lc_codes = rng.integers(0, num_codes, n_rows).astype(np.int32)
+        # register all label values once, then use raw codes
+        d_l.encode([f"g{i}" for i in range(num_codes)])
+        st, stv = d_st.encode(["stack"])
+        table.insert_record(
+            ColumnBatch(
+                [
+                    Column(
+                        "example_type", KIND_DICT,
+                        np.zeros(n_rows, np.int32), np.ones(n_rows, bool), d_et,
+                    ),
+                    Column(
+                        "labels.label1", KIND_DICT,
+                        lc_codes, np.ones(n_rows, bool), d_l,
+                    ),
+                    Column(
+                        "stacktrace", KIND_DICT,
+                        np.zeros(n_rows, np.int32), np.ones(n_rows, bool), d_st,
+                    ),
+                    Column(
+                        "timestamp", KIND_INT64,
+                        rng.integers(0, 1000, n_rows).astype(np.int64),
+                        np.ones(n_rows, bool),
+                    ),
+                    Column(
+                        "value", KIND_INT64,
+                        rng.integers(0, 1000, n_rows).astype(np.int64),
+                        np.ones(n_rows, bool),
+                    ),
+                ],
+                n_rows,
+            )
         )
-    )
+    total_rows = n_parts * rows_per_part
+    engine = LocalEngine(db.table_provider())
+
+    def run_query(lit: int):
+        out = []
+        engine.scan_table("t").filter(
+            E.Col("timestamp").gt_eq(int(lit))
+        ).aggregate(
+            [E.Sum(E.Col("value")), E.Count(E.Col("value"))],
+            [E.Col("labels.label1")],
+        ).execute(out.append)
+        return out[0]
+
+    table.sync()  # settle background compactions: a stable part set
+    for w in range(4):  # warm: device upload + jit for every part shape
+        run_query(50 + w)
+
+    # tunnel RTT baseline: tiny fetch, unique inputs each time
+    rtts = []
+    for i in range(6):
+        a = jnp.full((8,), jnp.int64(i))
+        t0 = time.perf_counter()
+        _ = np.asarray(a + jnp.int64(i))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    q = 12 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(q):
+        b = run_query(40 + i)  # unique literal: no memoized replay
+        assert b.num_rows == num_codes
+    dt = time.perf_counter() - t0
+    per_query = dt / q
+    raw = total_rows / per_query
+    adj = total_rows / max(per_query - rtt, 1e-9)
+    return {
+        "engine_rows_per_sec": adj,
+        "engine_rows_per_sec_with_rtt": raw,
+        "engine_query_latency_ms": per_query * 1e3,
+        "tunnel_rtt_ms": rtt * 1e3,
+        "engine_rows_per_query": total_rows,
+    }
 
 
 if __name__ == "__main__":

@@ -692,6 +692,182 @@ class CompiledFilterAggregate:
         return [pad2d(lo), pad2d(hi)]
 
     # ------------------------------------------------------------------
+    # Superpart: the whole part set as one concatenated device layout.
+    #
+    # Serving tables hold many immutable parts; the per-part loop costs
+    # ~5 kernel dispatches per part per query (dozens of ms of dispatch
+    # overhead for a 50-part table). Since parts are immutable and the
+    # dictionaries are table-global, their padded kernel planes concatenate
+    # once (cached on the Table keyed by the part identity tuple) and every
+    # query runs ONE fused pass over the whole table. Group emission order
+    # is preserved exactly: the global first-selected superblock/row equals
+    # first occurrence in the concatenated part stream, with ties refined
+    # against the owning part's host rows (the same _rank_ties path).
+
+    _SUPERPART_CACHE_ENTRIES = 4
+
+    def _superpart(self, parts):
+        key = tuple(id(p) for p in parts)
+        cache = getattr(self.table, "_superpart_cache", None)
+        if cache is None:
+            cache = {}
+            self.table._superpart_cache = cache
+        sp = cache.get(key)
+        if sp is None:
+            from .ops.pallas_agg import ROWS_PER_SUPER
+
+            targets = []
+            for p in parts:
+                dev = p.device()
+                targets.append(
+                    -(-dev.n_pad // ROWS_PER_SUPER) * ROWS_PER_SUPER
+                )
+            row_offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+            np.cumsum(targets, out=row_offsets[1:])
+            sp = {
+                "parts": list(parts),  # pin ids
+                "planes": {},
+                "row_offsets": row_offsets,
+                "super_offsets": row_offsets // ROWS_PER_SUPER,
+            }
+            while len(cache) >= self._SUPERPART_CACHE_ENTRIES:
+                cache.pop(next(iter(cache)))
+            cache[key] = sp
+        return sp
+
+    def _sp_plane(self, sp, kind: str, name):
+        """Cached concatenated [slabs,128] plane across the part set.
+        Kinds: rowvalid | codes | valid | int64 (column required) and
+        codes_m | valid_m | int64_m | has (missing column tolerated: zero
+        planes + has=0)."""
+        import jax.numpy as jnp
+
+        k = (kind, name)
+        out = sp["planes"].get(k)
+        if out is not None:
+            return out
+        arrs = []
+        for p in sp["parts"]:
+            dev = p.device()
+            pad2d = self._pad2d(dev)
+            if kind == "rowvalid":
+                arrs.append(pad2d(dev.row_valid_mask().astype(jnp.int32)))
+                continue
+            c = dev.column(name)
+            if c is None:
+                if kind == "has":
+                    arrs.append(
+                        jnp.zeros_like(
+                            pad2d(dev.row_valid_mask().astype(jnp.int32))
+                        )
+                    )
+                    continue
+                if kind.endswith("_m"):
+                    fill = (
+                        jnp.int64(0) if kind.startswith("int64") else jnp.int32(0)
+                    )
+                    z = pad2d(dev.row_valid_mask().astype(jnp.int32)) * 0
+                    arrs.append(z.astype(fill.dtype))
+                    continue
+                raise NotCompilable(f"part lacks {name}")
+            if kind == "has":
+                arrs.append(
+                    jnp.ones_like(
+                        pad2d(dev.row_valid_mask().astype(jnp.int32))
+                    )
+                )
+            elif kind.startswith("codes"):
+                arrs.append(pad2d(c.data.astype(jnp.int32)))
+            elif kind.startswith("valid"):
+                arrs.append(pad2d(c.validity.astype(jnp.int32)))
+            else:  # int64 planes
+                arrs.append(pad2d(c.data.astype(jnp.int64)))
+        out = jnp.concatenate(arrs, axis=0)
+        sp["planes"][k] = out
+        return out
+
+    def _codes_sel_concat(self, sp, gplan):
+        """The _codes_sel computation over the concatenated planes: one
+        gather/compare chain for the whole table."""
+        import jax.numpy as jnp
+
+        combined = None
+        gvalid = None
+        for gcol in gplan:
+            c = self._sp_plane(sp, "codes", gcol.name)
+            if gcol.remap is not None:
+                c = jnp.take(self._remap_dev(gcol), c, mode="clip")
+            combined = c if combined is None else combined * gcol.k + c
+            v = self._sp_plane(sp, "valid", gcol.name)
+            gvalid = v if gvalid is None else gvalid * v
+        sel = self._sp_plane(sp, "rowvalid", None) * gvalid
+        for i, leaf in enumerate(self.filters):
+            has = self._sp_plane(sp, "has", leaf.column)
+            fvalid = self._sp_plane(sp, "valid_m", leaf.column)
+            if leaf.kind == "int":
+                fv = self._sp_plane(sp, "int64_m", leaf.column)
+                lit = leaf.lit
+                cmp = {
+                    "<": fv < lit,
+                    "<=": fv <= lit,
+                    ">": fv > lit,
+                    ">=": fv >= lit,
+                    "==": fv == lit,
+                    "!=": fv != lit,
+                }[leaf.op]
+                m = cmp.astype(jnp.int32) * fvalid
+            elif leaf.lit is None:
+                m = fvalid if leaf.op == E.OP_NOT_EQ else (1 - fvalid)
+            else:
+                lut = self._leaf_lut_dev(i)
+                fc = self._sp_plane(sp, "codes_m", leaf.column)
+                m = jnp.take(lut, fc, mode="clip") * fvalid
+            # Parts lacking the column: the leaf is statically all-true for
+            # their rows (same semantics as the per-part skip).
+            sel = sel * jnp.where(has == 1, m, 1)
+        return combined, sel
+
+    def _value_planes_concat(self, sp, plan: _ValuePlan):
+        import jax.numpy as jnp
+
+        vdata = self._sp_plane(sp, "int64", plan.column)
+        if plan.bias:
+            vdata = vdata - jnp.asarray(plan.bias, vdata.dtype)
+        if not plan.wide:
+            return [vdata.astype(jnp.int32)]
+        lo = jnp.bitwise_and(vdata, jnp.int64(_LO_MASK)).astype(jnp.int32)
+        hi = (vdata >> _LO_BITS).astype(jnp.int32)
+        return [lo, hi]
+
+    def _emission_order_concat(
+        self, sp, counts_np: np.ndarray, first_np: np.ndarray
+    ) -> np.ndarray:
+        """Emission order from GLOBAL first-occurrence partials over the
+        concatenated stream — identical to the per-part walk (parts occupy
+        disjoint, ordered superblock/row ranges)."""
+        parts = sp["parts"]
+        ks = [int(k) for k in np.nonzero(counts_np > 0)[0]]
+        if not self.on_tpu:
+            ks.sort(key=lambda k: int(first_np[k]))
+            return np.asarray(ks, dtype=np.int64)
+        super_offsets = sp["super_offsets"]
+        by_super: dict[int, list[int]] = {}
+        for k in ks:
+            by_super.setdefault(int(first_np[k]), []).append(k)
+        keyed: list[tuple[tuple[int, int], int]] = []
+        for s, ks2 in by_super.items():
+            if len(ks2) == 1:
+                keyed.append(((s, 0), ks2[0]))
+                continue
+            p_idx = int(np.searchsorted(super_offsets, s, side="right")) - 1
+            local = s - int(super_offsets[p_idx])
+            ranks = self._rank_ties(parts[p_idx], local, ks2)
+            for k in ks2:
+                keyed.append(((s, ranks[k]), k))
+        keyed.sort()
+        return np.asarray([k for _key, k in keyed], dtype=np.int64)
+
+    # ------------------------------------------------------------------
     # First-occurrence emission order
 
     def _host_sel(self, part, lo: int, hi: int) -> np.ndarray:
@@ -879,19 +1055,18 @@ class CompiledFilterAggregate:
             else:
                 mins[p.column] = jnp.full((num_codes,), _INT32_MAX, jnp.int32)
                 maxs[p.column] = jnp.full((num_codes,), _INT32_MIN, jnp.int32)
-        per_part_counts = []
-        per_part_first = []
-        for p in parts:
-            codes, sel = self._codes_sel(p, self._gplan)
+        def run_pass_set(codes, sel, planes_by_col):
+            """One fused pass set over a (codes, sel, value-planes) layout —
+            a single part, or the whole concatenated superpart. Returns the
+            (counts, first) partials of its first pass; accumulates sums and
+            lexicographic min/max into the enclosing dicts."""
+            nonlocal counts
             flat_codes = codes.reshape(-1)
             flat_sel = sel.reshape(-1) > 0
-            planes_by_col = {
-                plan.column: self._value_planes(p, plan) for plan in plans
-            }
             # One fused kernel pass per value plane; the FIRST pass also
             # yields the counts and first-occurrence partials (a zero value
             # plane when the query is counts-only) — the single-value-column
-            # query keeps its single pass per part.
+            # query keeps its single pass.
             passes: list[tuple[Optional[str], int, object, int]] = []
             for plan in plans:
                 if plan.need_sum:
@@ -900,6 +1075,7 @@ class CompiledFilterAggregate:
                         passes.append((plan.column, pi, vals, digits))
             if not passes:
                 passes.append((None, 0, jnp.zeros_like(codes), 1))
+            my_counts = my_first = None
             for idx, (col, pi, vals, digits) in enumerate(passes):
                 if self.on_tpu:
                     s, c, first = pallas_group_sum_count(
@@ -916,10 +1092,10 @@ class CompiledFilterAggregate:
                     )
                 if idx == 0:
                     counts = counts + c
-                    per_part_counts.append(c)
-                    per_part_first.append(first)
+                    my_counts, my_first = c, first
                 if col is not None:
                     sums[col][pi] = sums[col][pi] + s
+
             def mm(vals, sel2):
                 if self.on_tpu:
                     return pallas_group_min_max(codes, vals, sel2, num_codes)
@@ -943,7 +1119,7 @@ class CompiledFilterAggregate:
                 # Two-plane lexicographic min/max: pass 1 reduces the hi
                 # plane; passes 2/3 reduce the lo plane over just the rows
                 # whose hi equals their code's extreme (one [K]-gather per
-                # row). Cross-part combine is lexicographic on (hi, lo).
+                # row). Cross-pass combine is lexicographic on (hi, lo).
                 lo, hi = planes
                 mn_hi, mx_hi = mm(hi, sel)
                 sel_min = sel * (
@@ -967,6 +1143,39 @@ class CompiledFilterAggregate:
                     jnp.where(better, mx_hi, ah),
                     jnp.where(better, mx_lo, al),
                 )
+            return my_counts, my_first
+
+        # Superpart fast path: every query runs ONE pass set over the
+        # cached concatenation of all parts instead of one per part.
+        sp = None
+        if len(parts) > 1:
+            try:
+                sp = self._superpart(parts)
+                concat_codes, concat_sel = self._codes_sel_concat(
+                    sp, self._gplan
+                )
+            except NotCompilable:
+                sp = None
+        per_part_counts = []
+        per_part_first = []
+        global_first = None
+        if sp is not None:
+            planes_by_col = {
+                plan.column: self._value_planes_concat(sp, plan)
+                for plan in plans
+            }
+            _c, global_first = run_pass_set(
+                concat_codes, concat_sel, planes_by_col
+            )
+        else:
+            for p in parts:
+                codes, sel = self._codes_sel(p, self._gplan)
+                planes_by_col = {
+                    plan.column: self._value_planes(p, plan) for plan in plans
+                }
+                c, first = run_pass_set(codes, sel, planes_by_col)
+                per_part_counts.append(c)
+                per_part_first.append(first)
 
         # ONE device->host fetch for the whole query: every [K]-sized result
         # (and the per-part order partials) concatenates into a single int64
@@ -993,7 +1202,9 @@ class CompiledFilterAggregate:
                 else:
                     blob_parts.append(mins[plan.column].astype(jnp.int64))
                     blob_parts.append(maxs[plan.column].astype(jnp.int64))
-        if P:
+        if sp is not None:
+            blob_parts.append(global_first.astype(jnp.int64))
+        elif P:
             blob_parts.append(jnp.stack(per_part_counts).ravel())
             blob_parts.append(
                 jnp.stack(per_part_first).astype(jnp.int64).ravel()
@@ -1028,7 +1239,11 @@ class CompiledFilterAggregate:
                     mx = mx.astype(np.float64)
                 mins_np[plan.column] = mn
                 maxs_np[plan.column] = mx
-        if P:
+        if sp is not None:
+            first_np = blob[off : off + num_codes]
+            off += num_codes
+            order_arr = self._emission_order_concat(sp, counts_np, first_np)
+        elif P:
             part_counts = blob[off : off + P * num_codes].reshape(P, num_codes)
             off += P * num_codes
             part_first = blob[off : off + P * num_codes].reshape(P, num_codes)

@@ -235,15 +235,27 @@ class PredicateFilter(PhysicalOperator):
     """reference: query/physicalplan/filter.go PredicateFilter. Evaluates the
     predicate to a row mask and materializes matching rows."""
 
-    def __init__(self, expr: E.Expr):
+    def __init__(self, expr: E.Expr, allocator=None):
         super().__init__()
         self.expr = expr
+        self.allocator = allocator
 
     def callback(self, batch: ColumnBatch) -> None:
         mask = filter_mask(batch, self.expr)
         if not mask.any():
             return  # empty results are not propagated (filter.go:276)
         filtered = batch.select_mask(mask)
+        if self.allocator is not None:
+            # Transient flow accounting (query/memory.go:17): charged while
+            # the materialized copy is in flight; a downstream accumulator
+            # re-charges whatever it retains.
+            nbytes = _batch_bytes(filtered)
+            self.allocator.allocate(nbytes)
+            try:
+                self.next.callback(filtered)
+            finally:
+                self.allocator.free(nbytes)
+            return
         self.next.callback(filtered)
 
     def draw(self) -> Diagram:
@@ -260,9 +272,10 @@ class PredicateFilter(PhysicalOperator):
 class Projection(PhysicalOperator):
     """reference: query/physicalplan/project.go."""
 
-    def __init__(self, exprs: Sequence[E.Expr]):
+    def __init__(self, exprs: Sequence[E.Expr], allocator=None):
         super().__init__()
         self.exprs = list(exprs)
+        self.allocator = allocator
 
     def callback(self, batch: ColumnBatch) -> None:
         cols: list[Column] = []
@@ -273,7 +286,16 @@ class Projection(PhysicalOperator):
                     continue
                 seen.add(c.name)
                 cols.append(c)
-        self.next.callback(ColumnBatch(cols, batch.num_rows))
+        out = ColumnBatch(cols, batch.num_rows)
+        if self.allocator is not None:
+            nbytes = _batch_bytes(out)
+            self.allocator.allocate(nbytes)
+            try:
+                self.next.callback(out)
+            finally:
+                self.allocator.free(nbytes)
+            return
+        self.next.callback(out)
 
     def draw(self) -> Diagram:
         child = self.next.draw() if self.next is not None else None
@@ -385,6 +407,10 @@ def unify_concat(batches: list[ColumnBatch]) -> ColumnBatch:
             cols.append(c)
         conformed.append(ColumnBatch(cols, b.num_rows))
     return concat_batches(conformed)
+
+
+def _batch_bytes(b: ColumnBatch) -> int:
+    return sum(c.values.nbytes + c.validity.nbytes for c in b.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -820,12 +846,20 @@ class HashJoin(PhysicalOperator):
         self.options = options
         self.right_output = right_output
         self._batches: list[ColumnBatch] = []
+        self._allocated = 0
 
     def callback(self, batch: ColumnBatch) -> None:
+        if self.options.allocator is not None:
+            nbytes = _batch_bytes(batch)
+            self.options.allocator.allocate(nbytes)
+            self._allocated += nbytes
         self._batches.append(batch)
 
     def finish(self) -> None:
         out = self._join()
+        if self.options.allocator is not None and self._allocated:
+            self.options.allocator.free(self._allocated)
+            self._allocated = 0
         if out is not None and out.num_rows > 0:
             self.next.callback(out)
         self.next.finish()
@@ -892,10 +926,12 @@ class Limiter(PhysicalOperator):
 
 
 class ReservoirSampler(PhysicalOperator):
-    def __init__(self, size: int, byte_limit: int, seed: int = 0):
+    def __init__(self, size: int, byte_limit: int, seed: int = 0, allocator=None):
         super().__init__()
         self.size = size
         self.byte_limit = byte_limit
+        self.allocator = allocator
+        self._charged = 0
         self._rng = np.random.default_rng(seed if seed else None)
         self._rows: list[tuple[ColumnBatch, int]] = []
         self._n_seen = 0
@@ -959,6 +995,14 @@ class ReservoirSampler(PhysicalOperator):
                 )
         if touched:
             self._maybe_materialize()
+            if self.allocator is not None:
+                pinned = self._pinned_bytes()
+                if pinned > self._charged:
+                    self.allocator.allocate(pinned - self._charged)
+                    self._charged = pinned
+                elif pinned < self._charged:
+                    self.allocator.free(self._charged - pinned)
+                    self._charged = pinned
 
     def finish(self) -> None:
         by_batch: dict[int, tuple[ColumnBatch, list[int]]] = {}
@@ -966,6 +1010,9 @@ class ReservoirSampler(PhysicalOperator):
             by_batch.setdefault(id(b), (b, []))[1].append(i)
         for b, idxs in by_batch.values():
             self.next.callback(b.take(np.asarray(sorted(idxs), dtype=np.int64)))
+        if self.allocator is not None and self._charged:
+            self.allocator.free(self._charged)
+            self._charged = 0
         self.next.finish()
 
     def draw(self) -> Diagram:
@@ -1062,7 +1109,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
             if any(e.name() == "all" for e in node.projection.exprs):
                 return True
             for i in range(len(prev)):
-                p = Projection(node.projection.exprs)
+                p = Projection(node.projection.exprs, opts.allocator)
                 prev[i].set_next(p)
                 prev[i] = p
         elif node.distinct is not None:
@@ -1093,7 +1140,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev = [l]
         elif node.filter is not None:
             for i in range(len(prev)):
-                f = PredicateFilter(node.filter.expr)
+                f = PredicateFilter(node.filter.expr, opts.allocator)
                 prev[i].set_next(f)
                 prev[i] = f
         elif node.aggregation is not None:
@@ -1151,7 +1198,7 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
             r = v % len(prev)
             for i in range(len(prev)):
                 adjust = 1 if i < r else 0
-                s = ReservoirSampler(per + adjust, per_limit)
+                s = ReservoirSampler(per + adjust, per_limit, allocator=opts.allocator)
                 prev[i].set_next(s)
                 prev[i] = s
         else:
