@@ -72,6 +72,11 @@ class DB:
         # Highest txn covered by a durable snapshot (written this process or
         # loaded at recovery). Feeds maintain_wal's truncation watermark.
         self.last_snapshot_tx = 0
+        # Serializes write_snapshot: rotation workers and the insert thread
+        # can both trigger snapshots concurrently; interleaved writes to the
+        # same tmp/index paths could publish a valid-footer snapshot whose
+        # linked index files another attempt deleted (silent loss).
+        self._snapshot_lock = threading.Lock()
 
     # -- transactions (reference: db.go:1229 begin/beginRead) ------------
 

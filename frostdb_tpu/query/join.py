@@ -65,10 +65,64 @@ def _key_values(col: Column | None, n: int):
     if col.kind == KIND_FLOAT64:
         return col.values.astype(np.float64), col.validity, "num"
     if col.kind == KIND_UINT64:
-        # uint64 values above 2^63 keep exact identity through float128-free
-        # object fallback only if needed; in practice IDs fit int64.
-        return col.values.astype(np.uint64).astype(np.int64), col.validity, "num"
+        # Keep the native uint64 dtype: the common exact representation with
+        # the other side is chosen in shared_key_codes (a blind int64
+        # reinterpret would equate u64 2^64-1 with i64 -1 cross-kind).
+        return col.values.astype(np.uint64), col.validity, "num"
     return col.values.astype(np.int64), col.validity, "num"
+
+
+_F53 = 1 << 53  # largest contiguously float64-representable integer magnitude
+
+
+def _exact_numeric_union(lrep, rrep, lvalid, rvalid, key):
+    """Concatenate both sides' numeric key values in an EXACT common
+    representation (ADVICE r3: a blind float64 cast collides distinct int64
+    keys above 2^53; an int64 reinterpret of uint64 equates -1 with 2^64-1).
+
+    NaN keys are folded into the null mask: SQL equality never matches NaN
+    (the masks are mutated in place — callers pass the accumulating
+    per-side validity arrays).
+    """
+    has_float = lrep.dtype == np.float64 or rrep.dtype == np.float64
+    if has_float:
+        for rep, valid in ((lrep, lvalid), (rrep, rvalid)):
+            if rep.dtype == np.float64:
+                valid &= ~np.isnan(rep)
+            elif len(rep):
+                big = (
+                    (rep > np.uint64(_F53)).any()
+                    if rep.dtype == np.uint64
+                    else ((rep > _F53) | (rep < -_F53)).any()
+                )
+                if big:
+                    raise EvalError(
+                        f"join key {key}: int values exceed 2^53; an exact"
+                        " float64 comparison is impossible — cast one side"
+                    )
+        return np.concatenate(
+            [lrep.astype(np.float64), rrep.astype(np.float64)]
+        )
+    has_uint = lrep.dtype == np.uint64 or rrep.dtype == np.uint64
+    if has_uint:
+        reps = (lrep, rrep)
+        umax_ok = all(
+            (r <= np.uint64(np.iinfo(np.int64).max)).all()
+            for r in reps
+            if r.dtype == np.uint64 and len(r)
+        )
+        if umax_ok:
+            return np.concatenate([r.astype(np.int64) for r in reps])
+        imin_ok = all(
+            (r >= 0).all() for r in reps if r.dtype == np.int64 and len(r)
+        )
+        if imin_ok:
+            return np.concatenate([r.astype(np.uint64) for r in reps])
+        # Exact fallback: Python ints compare/sort exactly at any magnitude.
+        return np.concatenate(
+            [r.astype(object) for r in reps]
+        )
+    return np.concatenate([lrep.astype(np.int64), rrep.astype(np.int64)])
 
 
 def shared_key_codes(left: ColumnBatch, right: ColumnBatch | None, on):
@@ -100,14 +154,7 @@ def shared_key_codes(left: ColumnBatch, right: ColumnBatch | None, on):
                 [np.asarray(lrep, dtype=object), np.asarray(rrep, dtype=object)]
             ).astype(str)
         else:
-            both = np.concatenate(
-                [lrep.astype(np.float64), rrep.astype(np.float64)]
-            ) if (
-                (lcol is not None and lcol.kind == KIND_FLOAT64)
-                or (rcol is not None and rcol.kind == KIND_FLOAT64)
-            ) else np.concatenate(
-                [lrep.astype(np.int64), rrep.astype(np.int64)]
-            )
+            both = _exact_numeric_union(lrep, rrep, lvalid, rvalid, k)
         uniq, inv = np.unique(both, return_inverse=True)
         codes = inv.astype(np.int64)
         num = max(len(uniq), 1)
@@ -262,6 +309,21 @@ def join_batches(
     out_cols = [c.take(lrows) for c in left.columns]
     left_names = {c.name for c in left.columns}
     key_names = set(on)
+    if right is not None and nr == 0:
+        # Zero-row right (left_outer only reaches here; inner/semi returned
+        # above): no row to take — extend with all-null right columns of the
+        # right schema (ADVICE r3: fancy-indexing row 0 of empty arrays
+        # raised IndexError through the library entry point).
+        for c in right.columns:
+            if c.name in key_names:
+                continue
+            nm = c.name if c.name not in left_names else c.name + "_right"
+            out_cols.append(
+                Column.all_null(
+                    nm, c.kind, len(lrows), c.dictionary, c.layout, template=c
+                )
+            )
+        return ColumnBatch(out_cols, len(lrows))
     if right is not None:
         safe_r = np.clip(rrows, 0, max(nr - 1, 0))
         rt = right.take(safe_r)

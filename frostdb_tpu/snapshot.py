@@ -35,7 +35,7 @@ def snapshot_path(directory: str, tx: int) -> str:
     return os.path.join(directory, f"{tx:020d}.fdbt")
 
 
-def _snapshot_block(f, block, tx, directory, name, pend_id, meta, offset):
+def _snapshot_block(f, block, tx, index_root, name, pend_id, meta, offset):
     """Serialize one TableBlock into the open snapshot file: inline parts
     below the disk level, hard-link the disk level's files. One consistent
     cut per block: a background compaction splicing between the part
@@ -65,85 +65,102 @@ def _snapshot_block(f, block, tx, directory, name, pend_id, meta, offset):
             offset += len(payload)
         if disk is not None:
             parts_dir = [name] if pend_id is None else [name, pend_id]
-            link_dir = os.path.join(
-                directory, f"{tx:020d}.index", *parts_dir, str(disk.level)
-            )
+            link_dir = os.path.join(index_root, *parts_dir, str(disk.level))
             meta["index_files"] = disk.snapshot_link(link_dir)
             meta["index_level"] = disk.level
     return offset
 
 
 def write_snapshot(db, directory: str) -> int:
-    """reference: snapshot.go:395 WriteSnapshot. Returns the snapshot tx."""
+    """reference: snapshot.go:395 WriteSnapshot. Returns the snapshot tx.
+
+    Concurrency/crash safety: attempts are serialized by ``db._snapshot_lock``
+    (rotation workers and the insert thread can both trigger snapshots), the
+    tmp file and the index-link staging dir are named uniquely per attempt,
+    and a published snapshot's index dir is NEVER mutated in place. A
+    snapshot at tx T stages its hard links under ``<tx>.index.<incarnation>``
+    and records that dirname in the footer; only after the ``.fdbt`` publish
+    is durable are other incarnations (and older snapshots) removed. A crash
+    or injected EIO mid-write therefore leaves any previously published
+    snapshot — including one at the SAME tx from a pre-recovery incarnation —
+    fully intact with all its linked files.
+    """
+    with db._snapshot_lock:
+        return _write_snapshot_locked(db, directory)
+
+
+def _write_snapshot_locked(db, directory: str) -> int:
+    import uuid
+
     os.makedirs(directory, exist_ok=True)
     tx = db.high_watermark()
     path = snapshot_path(directory, tx)
-    tmp = path + ".tmp"
-    footer: dict = {"tx": tx, "tables": []}
-    with open(tmp, "wb") as f:
-        f.write(MAGIC)
-        offset = len(MAGIC)
-        for name, table in db.tables.items():
-            with table._lock:
-                active = table.active_block
-                pending = list(table.pending_blocks)
-            tmeta = {
-                "name": name,
-                "config": table.config.to_dict(),
-                "active_block_id": active.id,
-                "parts": [],
-                "index_files": [],
-                # Rotated-but-unpersisted blocks: their rows live ONLY in
-                # memory (and the WAL), so the snapshot must carry them or
-                # its coverage claim — and the WAL truncation based on it —
-                # would silently drop them (caught by the EIO DST: a persist
-                # failing with EIO strands the block in pending).
-                "pending": [],
-            }
-            # A snapshot at this tx may already exist: recovery resets the
-            # watermark, so a post-recovery snapshot can reuse a previous
-            # incarnation's tx. Stale links left in place would be loaded
-            # alongside the fresh ones (duplicates — caught by the crash
-            # DST, seed 137).
-            import shutil as _shutil
-
-            _shutil.rmtree(
-                os.path.join(directory, f"{tx:020d}.index", name),
-                ignore_errors=True,
-            )
-            offset = _snapshot_block(
-                f, active, tx, directory, name, None, tmeta, offset
-            )
-            for blk in pending:
-                bmeta = {"id": blk.id, "parts": [], "index_files": []}
+    incarnation = uuid.uuid4().hex[:12]
+    tmp = f"{path}.tmp.{os.getpid()}.{incarnation}"
+    index_dirname = f"{tx:020d}.index.{incarnation}"
+    index_root = os.path.join(directory, index_dirname)
+    footer: dict = {"tx": tx, "index_dirname": index_dirname, "tables": []}
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            offset = len(MAGIC)
+            for name, table in db.tables.items():
+                with table._lock:
+                    active = table.active_block
+                    pending = list(table.pending_blocks)
+                tmeta = {
+                    "name": name,
+                    "config": table.config.to_dict(),
+                    "active_block_id": active.id,
+                    "parts": [],
+                    "index_files": [],
+                    # Rotated-but-unpersisted blocks: their rows live ONLY in
+                    # memory (and the WAL), so the snapshot must carry them or
+                    # its coverage claim — and the WAL truncation based on it —
+                    # would silently drop them (caught by the EIO DST: a persist
+                    # failing with EIO strands the block in pending).
+                    "pending": [],
+                }
                 offset = _snapshot_block(
-                    f, blk, tx, directory, name, blk.id, bmeta, offset
+                    f, active, tx, index_root, name, None, tmeta, offset
                 )
-                tmeta["pending"].append(bmeta)
-            footer["tables"].append(tmeta)
-        fb = json.dumps(footer).encode("utf-8")
-        f.write(fb)
-        f.write(_U32.pack(len(fb)))
-        f.write(_U32.pack(zlib.crc32(fb) & 0xFFFFFFFF))
-        f.write(MAGIC)
-        f.flush()
-        os.fsync(f.fileno())
-    inj = getattr(getattr(db, "store", None), "fault_injector", None)
-    if inj is not None and inj.snapshot_fails():
-        # Injected EIO before the atomic publish (dst/vfs/fs.go:24
-        # analogue): the torn tmp never becomes visible and no state
-        # (last_snapshot_tx, WAL truncation) advances.
-        from .faults import eio
+                for blk in pending:
+                    bmeta = {"id": blk.id, "parts": [], "index_files": []}
+                    offset = _snapshot_block(
+                        f, blk, tx, index_root, name, blk.id, bmeta, offset
+                    )
+                    tmeta["pending"].append(bmeta)
+                footer["tables"].append(tmeta)
+            fb = json.dumps(footer).encode("utf-8")
+            f.write(fb)
+            f.write(_U32.pack(len(fb)))
+            f.write(_U32.pack(zlib.crc32(fb) & 0xFFFFFFFF))
+            f.write(MAGIC)
+            f.flush()
+            os.fsync(f.fileno())
+        inj = getattr(getattr(db, "store", None), "fault_injector", None)
+        if inj is not None and inj.snapshot_fails():
+            # Injected EIO before the atomic publish (dst/vfs/fs.go:24
+            # analogue): the torn tmp never becomes visible and no state
+            # (last_snapshot_tx, WAL truncation) advances.
+            from .faults import eio
+
+            raise eio("snapshot write")
+    except BaseException:
+        # Failed attempt: remove only THIS attempt's staging artifacts; any
+        # previously published snapshot (same tx included) is untouched.
+        import shutil as _shutil
 
         try:
             os.remove(tmp)
         except OSError:
             pass
-        raise eio("snapshot write")
+        _shutil.rmtree(index_root, ignore_errors=True)
+        raise
     os.replace(tmp, path)
     if db.wal is not None:
         db.wal.log_snapshot(tx)
-    cleanup_old_snapshots(directory, keep_tx=tx)
+    cleanup_old_snapshots(directory, keep_tx=tx, keep_index_dirname=index_dirname)
     db.last_snapshot_tx = max(db.last_snapshot_tx, tx)
     if db.store is not None and db.store.metrics is not None:
         db.store.metrics.snapshots_total.inc()
@@ -205,6 +222,10 @@ def load_snapshot(db, directory: str) -> int:
         return 0
     with open(path, "rb") as f:
         data = f.read()
+    # Old-format snapshots (pre-incarnation) linked under "<tx>.index".
+    index_root = os.path.join(
+        directory, footer.get("index_dirname", f"{tx:020d}.index")
+    )
     # Tables are restored without WAL logging: the transaction counter is
     # still at zero here, and logging a NewTableBlock with a pre-reset tx
     # would interleave stale txns into old segments (caught by the DST).
@@ -235,9 +256,7 @@ def load_snapshot(db, directory: str) -> int:
             from .disklevel import DiskLevel
 
             level = tmeta.get("index_level", 2)
-            link_dir = os.path.join(
-                directory, f"{tx:020d}.index", tmeta["name"], str(level)
-            )
+            link_dir = os.path.join(index_root, tmeta["name"], str(level))
             if os.path.isdir(link_dir):
                 snap_level = DiskLevel(link_dir, level)
                 disk = table.active_block.disk_level
@@ -270,11 +289,7 @@ def load_snapshot(db, directory: str) -> int:
             if bmeta.get("index_files"):
                 level = bmeta.get("index_level", 2)
                 link_dir = os.path.join(
-                    directory,
-                    f"{tx:020d}.index",
-                    tmeta["name"],
-                    bmeta["id"],
-                    str(level),
+                    index_root, tmeta["name"], bmeta["id"], str(level)
                 )
                 if os.path.isdir(link_dir):
                     snap_level = DiskLevel(link_dir, level)
@@ -289,7 +304,12 @@ def load_snapshot(db, directory: str) -> int:
     return tx
 
 
-def cleanup_old_snapshots(directory: str, keep_tx: int) -> None:
+def cleanup_old_snapshots(
+    directory: str, keep_tx: int, keep_index_dirname: Optional[str] = None
+) -> None:
+    """Remove snapshots below keep_tx and any index dir not referenced by the
+    surviving snapshot (stale incarnations at the same tx, older txns, and
+    abandoned staging dirs from crashed attempts). reference: snapshot.go:674."""
     import shutil
 
     for tx in list_snapshot_txns(directory):
@@ -298,6 +318,32 @@ def cleanup_old_snapshots(directory: str, keep_tx: int) -> None:
                 os.remove(snapshot_path(directory, tx))
             except OSError:
                 pass
-            shutil.rmtree(
-                os.path.join(directory, f"{tx:020d}.index"), ignore_errors=True
+    if keep_index_dirname is None:
+        footer = read_footer(snapshot_path(directory, keep_tx))
+        if footer is not None:
+            keep_index_dirname = footer.get(
+                "index_dirname", f"{keep_tx:020d}.index"
             )
+    try:
+        entries = os.listdir(directory)
+    except OSError:
+        return
+    for name in entries:
+        if ".fdbt.tmp." in name:
+            # Abandoned tmp from a crashed attempt (the live attempt's tmp
+            # was os.replace'd before cleanup runs, and attempts are
+            # serialized by the db snapshot lock).
+            try:
+                os.remove(os.path.join(directory, name))
+            except OSError:
+                pass
+            continue
+        if ".index" not in name or name == keep_index_dirname:
+            continue
+        stem = name.split(".index", 1)[0]
+        if not stem.isdigit():
+            continue
+        if int(stem) < keep_tx or (
+            int(stem) == keep_tx and name != keep_index_dirname
+        ):
+            shutil.rmtree(os.path.join(directory, name), ignore_errors=True)

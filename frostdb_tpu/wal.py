@@ -135,12 +135,17 @@ class FileWAL:
                 failed_at = None
                 with self._lock:
                     for i, (tx, frame) in enumerate(batch):
-                        if (
-                            self._file is None
-                            or self._segment_size > self.segment_size
-                        ):
-                            self._open_segment(tx)
                         try:
+                            # _open_segment inside the try: an EIO from the
+                            # previous segment's final fsync must re-queue
+                            # this batch, not kill the worker thread (which
+                            # would silently drop acked-but-unwritten
+                            # entries with no crash having happened).
+                            if (
+                                self._file is None
+                                or self._segment_size > self.segment_size
+                            ):
+                                self._open_segment(tx)
                             self._write_frame_rollback(frame)
                         except OSError:
                             failed_at = i
@@ -150,7 +155,7 @@ class FileWAL:
                         try:
                             os.fsync(self._file.fileno())
                         except OSError:
-                            pass  # retried with the next batch's fsync
+                            pass  # retried by the next batch / close()
                 with self._cv:
                     if failed_at is not None:
                         # Re-queue the failed frame and everything after it;
@@ -507,10 +512,27 @@ class FileWAL:
             self._thread = None
         with self._lock:
             if self._file is not None:
-                self._file.flush()
-                os.fsync(self._file.fileno())
+                # A clean close must not report success unless the tail is
+                # provably durable: the async loop swallows batch-fsync
+                # EIOs (retried next batch), so retry here and surface a
+                # persistent failure to the caller (ADVICE r3).
+                err: Optional[OSError] = None
+                try:
+                    self._file.flush()
+                except OSError as e:
+                    err = e
+                if err is None:
+                    for _ in range(3):
+                        try:
+                            os.fsync(self._file.fileno())
+                            err = None
+                            break
+                        except OSError as e:
+                            err = e
                 self._file.close()
                 self._file = None
+                if err is not None:
+                    raise err
 
 
 class NopWAL:

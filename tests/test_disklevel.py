@@ -63,7 +63,10 @@ def test_compaction_spills_to_disk_and_snapshot_links(tmp_path):
     assert os.path.isdir(disk_dir) and os.listdir(disk_dir), "no index files"
 
     tx = write_snapshot(db, db.snapshot_dir)
-    link_dir = os.path.join(db.snapshot_dir, f"{tx:020d}.index", "t", "2")
+    from frostdb_tpu.snapshot import read_footer, snapshot_path
+
+    footer = read_footer(snapshot_path(db.snapshot_dir, tx))
+    link_dir = os.path.join(db.snapshot_dir, footer["index_dirname"], "t", "2")
     assert os.path.isdir(link_dir) and os.listdir(link_dir), "no linked files"
     # the snapshot file itself should be small: parts live in linked files
     assert _query_sum(db, "t") == 24
@@ -78,3 +81,79 @@ def test_compaction_spills_to_disk_and_snapshot_links(tmp_path):
     db3 = store3.db("d")
     assert _query_sum(db3, "t") == 24
     store3.close()
+
+
+def test_same_tx_resnapshot_eio_preserves_published(tmp_path):
+    """ADVICE r3 (high): a failed snapshot attempt at a tx that already has
+    a published snapshot must not mutate the published snapshot's index
+    links — the old incarnation stays fully loadable."""
+    from frostdb_tpu.faults import FaultInjector
+    from frostdb_tpu.snapshot import (
+        get_latest_valid_snapshot_txn,
+        read_footer,
+        snapshot_path,
+    )
+
+    store = ColumnStore(storage_path=str(tmp_path), enable_wal=True)
+    db = store.db("d")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    for i in range(4):
+        table.insert_record(_make_batch(table, ts_start=i * 10))
+    table.active_block.index.compact_level(0)
+    table.active_block.index.compact_level(1)
+
+    tx = write_snapshot(db, db.snapshot_dir)
+    footer1 = read_footer(snapshot_path(db.snapshot_dir, tx))
+    dir1 = footer1["index_dirname"]
+    linked1 = footer1["tables"][0]["index_files"]
+    assert linked1, "expected hard-linked index files"
+
+    # Re-attempt at the SAME tx with an injected snapshot EIO.
+    db.store.fault_injector = FaultInjector(seed=1, p_snapshot=1.0)
+    import pytest
+
+    with pytest.raises(OSError):
+        write_snapshot(db, db.snapshot_dir)
+    db.store.fault_injector = None
+
+    # Published snapshot untouched: same footer dir, all links present.
+    assert get_latest_valid_snapshot_txn(db.snapshot_dir) == tx
+    footer2 = read_footer(snapshot_path(db.snapshot_dir, tx))
+    assert footer2["index_dirname"] == dir1
+    for f in linked1:
+        assert os.path.exists(
+            os.path.join(db.snapshot_dir, dir1, "t", "2", f)
+        ), f"linked index file {f} lost by failed re-attempt"
+    store.close()
+
+    store2 = ColumnStore(storage_path=str(tmp_path), enable_wal=True)
+    assert _query_sum(store2.db("d"), "t") == 24
+    store2.close()
+
+
+def test_same_tx_resnapshot_success_swaps_incarnation(tmp_path):
+    """A successful re-snapshot at the same tx publishes a fresh incarnation
+    dir and removes the stale one (no duplicate-load of stale links)."""
+    from frostdb_tpu.snapshot import read_footer, snapshot_path
+
+    store = ColumnStore(storage_path=str(tmp_path), enable_wal=True)
+    db = store.db("d")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    for i in range(4):
+        table.insert_record(_make_batch(table, ts_start=i * 10))
+    table.active_block.index.compact_level(0)
+    table.active_block.index.compact_level(1)
+
+    tx1 = write_snapshot(db, db.snapshot_dir)
+    dir1 = read_footer(snapshot_path(db.snapshot_dir, tx1))["index_dirname"]
+    tx2 = write_snapshot(db, db.snapshot_dir)
+    assert tx2 == tx1  # watermark unchanged
+    dir2 = read_footer(snapshot_path(db.snapshot_dir, tx2))["index_dirname"]
+    assert dir2 != dir1
+    assert not os.path.isdir(os.path.join(db.snapshot_dir, dir1))
+    assert os.path.isdir(os.path.join(db.snapshot_dir, dir2))
+    store.close()
+
+    store2 = ColumnStore(storage_path=str(tmp_path), enable_wal=True)
+    assert _query_sum(store2.db("d"), "t") == 24
+    store2.close()
