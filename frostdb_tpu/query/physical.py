@@ -1036,6 +1036,7 @@ class ExecOptions:
         mesh=None,
         mesh_axis: str = "shards",
         tracer=None,
+        metrics=None,
     ):
         self.concurrency = concurrency
         # Tracer for per-query span trees (reference: query/engine.go:36
@@ -1054,6 +1055,9 @@ class ExecOptions:
         # single-stream engine on any device count.
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # Optional MetricsRegistry: the engine counts queries per serving
+        # tier (queries_served_{mesh,compiled,dense,generic}) on it.
+        self.metrics = metrics
 
 
 def _should_plan_ordered(opts: ExecOptions, ordering_ok: bool, node) -> bool:

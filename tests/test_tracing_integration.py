@@ -154,3 +154,38 @@ def test_durability_metrics_nonzero(tmp_path):
     text = m.expose()
     assert "frostdb_tpu_snapshots_total" in text
     store.close()
+
+
+def test_fallback_reasons_surfaced():
+    """VERDICT r3 weak #7: a query degrading from compiled->generic records
+    WHY on the span, the engine, and the per-path metrics counter."""
+    from frostdb_tpu.metrics import MetricsRegistry
+
+    _s, db, _t = _mk()
+    tracer = Tracer()
+    registry = MetricsRegistry()
+    engine = LocalEngine(
+        db.table_provider(), ExecOptions(tracer=tracer, metrics=registry)
+    )
+    out = []
+    # unique() aggregation is generic-only -> compiled/dense must decline
+    # with a recorded reason.
+    engine.scan_table("t").aggregate(
+        [E.Unique(E.Col("value"))], [E.Col("example_type")]
+    ).execute(out.append)
+    assert out
+    root = tracer.roots[0]
+    assert root.attributes["path"] == "generic"
+    reasons = root.attributes["fallback_reasons"]
+    assert "compiled" in reasons and reasons["compiled"]
+    assert engine.last_serving_path == "generic"
+    assert engine.last_fallback_reasons == reasons
+    assert registry.counter("queries_served_generic").value() == 1
+
+    # A compiled-served query leaves no fallback attribute.
+    out2 = []
+    engine.scan_table("t").aggregate(
+        [E.Sum(E.Col("value"))], [E.Col("example_type")]
+    ).execute(out2.append)
+    assert engine.last_serving_path == "compiled"
+    assert registry.counter("queries_served_compiled").value() == 1
