@@ -138,13 +138,26 @@ _DICT_FILTER_OPS = (
 @dataclass
 class _GroupCol:
     """One group-key column's code plan: the (possibly remapped) per-column
-    code space that multiplies into the combined dense key."""
+    code space that multiplies into the combined dense key.
+
+    kind "dict": a dict-coded string column; codes are (possibly compact-
+    remapped) table-global dictionary codes.
+    kind "int": an int64 column windowed by ``window`` (plain int64 group
+    keys are the window=1 case; ``second(timestamp)`` is window=1000*s —
+    the reference's DurationExpr, expr.go:1072). The per-column code is the
+    absolute window index ``value // window`` shifted by ``base`` (the
+    minimum window index over the visible parts, clamped by same-column
+    filter leaves), so the code space is range-dense: k = max_win - base + 1.
+    """
 
     name: str
     dictionary: object
     remap: Optional[np.ndarray] = None  # family code -> compact, or None
     inv: Optional[np.ndarray] = None  # compact -> family code
     k: int = 0  # per-column code count (len(inv) or len(dictionary))
+    kind: str = "dict"  # "dict" | "int"
+    window: int = 1  # int kind: window width in the column's units
+    base: int = 0  # int kind: minimum window index (code 0)
 
 
 @dataclass
@@ -219,34 +232,70 @@ class CompiledFilterAggregate:
         import jax
 
         self.table = table
-        # 1 or 2 dict-coded group columns; two columns combine into one
-        # dense pair-code space (compact per-column remaps multiplied
-        # together) so (example_type, labels.x) group-bys stay fast.
-        self.group_cols: list[str] = (
-            [group_col] if isinstance(group_col, str) else list(group_col)
+        # 1 or 2 group columns, each either dict-coded (string) or int64
+        # (optionally windowed — DurationExpr / second(), expr.go:1072,
+        # visitor.go:332). Specs: a plain name (kind decided by schema
+        # type) or ("int", name, window). Two columns combine into one
+        # dense pair-code space (per-column code counts multiplied) so
+        # (second(timestamp), labels.x) group-bys stay fast.
+        specs = (
+            [group_col]
+            if isinstance(group_col, (str, tuple))
+            else list(group_col)
         )
-        if not 1 <= len(self.group_cols) <= 2:
+        if not 1 <= len(specs) <= 2:
             raise NotCompilable("compiled path groups by 1 or 2 columns")
-        self.group_col = self.group_cols[0]
         self.on_tpu = jax.default_backend() == "tpu"
 
         schema = table.schema()
-        self.group_dicts = []
-        for gc in self.group_cols:
+        self.group_cols: list[str] = []  # column names (both kinds)
+        self._gplan = []
+        for spec in specs:
+            if isinstance(spec, tuple):
+                _kind, gc, window = spec
+            else:
+                gc, window = spec, None
+            if gc in self.group_cols:
+                # Degenerate duplicate key (e.g. timestamp AND
+                # second(timestamp)) — generic engine semantics apply.
+                raise NotCompilable(f"duplicate group column {gc}")
             gdef = schema.column_by_name(gc)
-            if gdef is None or gdef.layout.type != "string":
-                raise NotCompilable(f"group column {gc} is not dict-coded")
-            fam = gc.split(".", 1)[0]
-            self.group_dicts.append(table.dictionary(fam))
-        self.dictionary = self.group_dicts[0]
-        # NB: no code-space gate here — the group columns' effective code
-        # count is a property of the visible parts (code-presence sets),
-        # decided per execute() by _group_remap (which replaces this
-        # direct-code default).
-        self._gplan = [
-            _GroupCol(gc, d, k=max(len(d), 1))
-            for gc, d in zip(self.group_cols, self.group_dicts)
-        ]
+            if gdef is None:
+                raise NotCompilable(f"group column {gc} not in schema")
+            if gdef.layout.type == "string":
+                if window is not None:
+                    raise NotCompilable("window over a non-int64 column")
+                fam = gc.split(".", 1)[0]
+                d = table.dictionary(fam)
+                # NB: no code-space gate here — the effective code count is
+                # a property of the visible parts, decided per execute() by
+                # _group_remap (which replaces this direct-code default).
+                self._gplan.append(_GroupCol(gc, d, k=max(len(d), 1)))
+            elif gdef.layout.type == "int64":
+                self._gplan.append(
+                    _GroupCol(
+                        gc,
+                        None,
+                        kind="int",
+                        window=max(int(window or 1), 1),
+                        k=1,
+                    )
+                )
+            else:
+                raise NotCompilable(
+                    f"group column {gc} is neither dict-coded nor int64"
+                )
+            self.group_cols.append(gc)
+        self.group_col = self.group_cols[0]
+        self.group_dicts = [g.dictionary for g in self._gplan]
+        self.dictionary = next(
+            (d for d in self.group_dicts if d is not None), None
+        )
+        # int-kind windows are immutable plan properties; _group_remap
+        # rebuilds _GroupCols per execute, so remember them by name.
+        self._int_windows = {
+            g.name: g.window for g in self._gplan if g.kind == "int"
+        }
 
         self.aggs = []
         # Distinct value columns in first-use order; each gets its own
@@ -343,10 +392,19 @@ class CompiledFilterAggregate:
         }
         float_bound = 0
         for p in parts:
-            for gc in self.group_cols:
-                g = p.batch.column(gc)
+            for gcol in self._gplan:
+                g = p.batch.column(gcol.name)
                 if g is None:
-                    raise NotCompilable(f"part lacks {gc}")
+                    raise NotCompilable(f"part lacks {gcol.name}")
+                if gcol.kind == "int":
+                    if g.kind != KIND_INT64:
+                        raise NotCompilable(
+                            f"group column {gcol.name} kind mismatch"
+                        )
+                elif g.kind != KIND_DICT:
+                    raise NotCompilable(
+                        f"group column {gcol.name} kind mismatch"
+                    )
                 if not g.validity.all():
                     # The generic engine emits a null-key group for these
                     # rows (kernels.group_ids keys on validity); fall back.
@@ -447,18 +505,75 @@ class CompiledFilterAggregate:
             pres = cp if pres is None else np.union1d(pres, cp)
         return pres if pres is not None else np.zeros(0, dtype=np.int64)
 
+    def _int_group_plan(self, parts, gc: str, window: int) -> _GroupCol:
+        """Range-dense code plan for an int64 (possibly windowed) group
+        column: codes are ``value // window - base`` where [base, max_win]
+        is the window-index range over the visible parts' zone maps,
+        CLAMPED by same-column int filter leaves (the Parca Range shape
+        filters the timestamp to a narrow interval of a long-lived table —
+        without the clamp the raw range would blow the code-space gate).
+        Rows outside the clamp are filtered out before accumulation, so
+        their (clipped) codes never land."""
+        gmin = gmax = None
+        for p in parts:
+            r = p.raw_range(gc)
+            if r is None:
+                raise NotCompilable(f"{gc} lacks a zone range")
+            gmin = r[0] if gmin is None else min(gmin, r[0])
+            gmax = r[1] if gmax is None else max(gmax, r[1])
+        if gmin is None:
+            return _GroupCol(gc, None, kind="int", window=window, k=1)
+        lo_w, hi_w = gmin // window, gmax // window
+        for leaf in self.filters:
+            if leaf.kind != "int" or leaf.column != gc:
+                continue
+            lit = leaf.lit
+            if leaf.op == ">=":
+                lo_w = max(lo_w, lit // window)
+            elif leaf.op == ">":
+                lo_w = max(lo_w, (lit + 1) // window)
+            elif leaf.op == "<=":
+                hi_w = min(hi_w, lit // window)
+            elif leaf.op == "<":
+                hi_w = min(hi_w, (lit - 1) // window)
+            elif leaf.op == "==":
+                lo_w = max(lo_w, lit // window)
+                hi_w = min(hi_w, lit // window)
+        k = max(int(hi_w - lo_w + 1), 1)
+        # Pad to a power of two: k is a static jit-cache dimension (the [K]
+        # partial shapes / the mesh program signature), and the filter clamp
+        # moves with per-query literals — padding keeps executables warm
+        # across a sliding time range. Codes >= the actual range never
+        # accumulate, so the pad slots stay zero and are never emitted.
+        k = 1 << (k - 1).bit_length()
+        return _GroupCol(
+            gc, None, kind="int", window=window, base=int(lo_w), k=k
+        )
+
     def _group_remap(self, parts) -> tuple[list[_GroupCol], int]:
         """Per-group-column code plans + the combined dense code count.
 
-        A single group column uses family codes directly while the family
-        dictionary is small; past REMAP_THRESHOLD (and always for the
-        two-column pair space, whose size is the per-column product) codes
-        remap through compact per-column LUTs built from the parts'
-        code-presence sets. Raises NotCompilable when the combined count
+        A single dict group column uses family codes directly while the
+        family dictionary is small; past REMAP_THRESHOLD (and always for
+        the multi-column pair space, whose size is the per-column product)
+        codes remap through compact per-column LUTs built from the parts'
+        code-presence sets. int64/window columns get range-dense plans
+        (_int_group_plan). Raises NotCompilable when the combined count
         exceeds MAX_CODES."""
         cols: list[_GroupCol] = []
-        for gc, d in zip(self.group_cols, self.group_dicts):
-            if len(self.group_cols) == 1 and len(d) <= self.REMAP_THRESHOLD:
+        n_dict = sum(1 for g in self._gplan if g.kind == "dict")
+        for gcol in self._gplan:
+            gc, d = gcol.name, gcol.dictionary
+            if gcol.kind == "int":
+                cols.append(
+                    self._int_group_plan(parts, gc, self._int_windows[gc])
+                )
+                continue
+            if (
+                len(self.group_cols) == 1
+                and n_dict == 1
+                and len(d) <= self.REMAP_THRESHOLD
+            ):
                 cols.append(_GroupCol(gc, d, k=max(len(d), 1)))
                 continue
             pres = self._col_presence(parts, gc)
@@ -619,9 +734,20 @@ class CompiledFilterAggregate:
             g = dev.column(gcol.name)
             if g is None:
                 raise NotCompilable(f"part lacks {gcol.name}")
-            c = g.data.astype(jnp.int32)
-            if gcol.remap is not None:
-                c = jnp.take(self._remap_dev(gcol), c, mode="clip")
+            if gcol.kind == "int":
+                # Window code: value // w - base (floor division — the
+                # generic engine's (ts // w) * w key, physical.py) in
+                # int64, clipped into the range-dense space (out-of-range
+                # rows are filtered before accumulation).
+                c = jnp.clip(
+                    g.data // jnp.int64(gcol.window) - jnp.int64(gcol.base),
+                    0,
+                    gcol.k - 1,
+                ).astype(jnp.int32)
+            else:
+                c = g.data.astype(jnp.int32)
+                if gcol.remap is not None:
+                    c = jnp.take(self._remap_dev(gcol), c, mode="clip")
             combined = c if combined is None else combined * gcol.k + c
             gvalid_all = (
                 g.validity
@@ -794,9 +920,17 @@ class CompiledFilterAggregate:
         combined = None
         gvalid = None
         for gcol in gplan:
-            c = self._sp_plane(sp, "codes", gcol.name)
-            if gcol.remap is not None:
-                c = jnp.take(self._remap_dev(gcol), c, mode="clip")
+            if gcol.kind == "int":
+                raw = self._sp_plane(sp, "int64", gcol.name)
+                c = jnp.clip(
+                    raw // jnp.int64(gcol.window) - jnp.int64(gcol.base),
+                    0,
+                    gcol.k - 1,
+                ).astype(jnp.int32)
+            else:
+                c = self._sp_plane(sp, "codes", gcol.name)
+                if gcol.remap is not None:
+                    c = jnp.take(self._remap_dev(gcol), c, mode="clip")
             combined = c if combined is None else combined * gcol.k + c
             v = self._sp_plane(sp, "valid", gcol.name)
             gvalid = v if gvalid is None else gvalid * v
@@ -903,7 +1037,8 @@ class CompiledFilterAggregate:
         return sel
 
     def _decode_codes(self, codes: np.ndarray) -> list[np.ndarray]:
-        """Combined dense codes -> per-group-column FAMILY codes."""
+        """Combined dense codes -> per-group-column FAMILY codes (dict
+        columns) or absolute window indices value//window (int columns)."""
         gplan = self._gplan
         out = []
         rest = np.asarray(codes, dtype=np.int64)
@@ -912,7 +1047,10 @@ class CompiledFilterAggregate:
             for later in gplan[i + 1 :]:
                 div *= later.k
             c = (rest // div) % gcol.k
-            fam = gcol.inv[c] if gcol.inv is not None else c
+            if gcol.kind == "int":
+                fam = c + gcol.base
+            else:
+                fam = gcol.inv[c] if gcol.inv is not None else c
             out.append(fam.astype(np.int64))
         return out
 
@@ -925,10 +1063,13 @@ class CompiledFilterAggregate:
 
         lo = super_idx * ROWS_PER_SUPER
         hi = min(lo + ROWS_PER_SUPER, part.batch.num_rows)
-        gvs = [
-            part.batch.column(gcol.name).values[lo:hi]
-            for gcol in self._gplan
-        ]
+        gvs = []
+        for gcol in self._gplan:
+            v = part.batch.column(gcol.name).values[lo:hi]
+            if gcol.kind == "int":
+                # Compare in window-index space (fams hold value // w).
+                v = v.astype(np.int64) // gcol.window
+            gvs.append(v)
         sel = self._host_sel(part, lo, hi)
         ranks = {}
         for k in codes_needed:
@@ -1280,7 +1421,9 @@ class CompiledFilterAggregate:
             return order_arr
         fams = self._decode_codes(order_arr)
         keys = [
-            gcol.dictionary.sort_ranks()[fam]
+            fam
+            if gcol.kind == "int"
+            else gcol.dictionary.sort_ranks()[fam]
             for gcol, fam in zip(self._gplan, fams)
         ]
         # np.lexsort sorts by the LAST key first.
@@ -1288,12 +1431,16 @@ class CompiledFilterAggregate:
 
     def _emitted_group_cols(self, order_arr: np.ndarray) -> list[tuple]:
         """emit_output's group-column spec: per column (name, dictionary,
-        family codes in emission order)."""
+        family codes in emission order); int/window columns emit as
+        (name, None, key values) — the generic engine's (ts // w) * w."""
         fams = self._decode_codes(order_arr)
-        return [
-            (gcol.name, gcol.dictionary, fam)
-            for gcol, fam in zip(self._gplan, fams)
-        ]
+        out = []
+        for gcol, fam in zip(self._gplan, fams):
+            if gcol.kind == "int":
+                out.append((gcol.name, None, fam * gcol.window))
+            else:
+                out.append((gcol.name, gcol.dictionary, fam))
+        return out
 
 
 def emit_output(
@@ -1313,6 +1460,14 @@ def emit_output(
 
     def group_column(i):
         name, dictionary, codes = group_cols[i]
+        if dictionary is None:
+            # int/window group key: emitted values, not dict codes.
+            return Column(
+                name,
+                KIND_INT64,
+                np.asarray(codes).astype(np.int64),
+                np.ones(n, dtype=bool),
+            )
         return Column(
             name,
             KIND_DICT,
@@ -1434,30 +1589,82 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
     agg = node.aggregation
     node = node.input
     filt = None
-    while node is not None and node.filter is not None:
-        if filt is not None:
-            raise NotCompilable("multiple filter nodes")
-        filt = node.filter.expr
+    # Pass-through pre-projections below the aggregation (the sqlparse
+    # visitor splits pre/post projections around aggregations,
+    # visitor.go:57-155): pure column selections narrow the visible column
+    # set without computing anything, so the fused path can look through
+    # them — provided every column it reads survives the narrowing
+    # (checked at the end; a dropped column means the generic engine's
+    # missing-column semantics apply and the plan stays generic).
+    pre_sets: list[tuple[set, list, bool]] = []  # (names, dyn prefixes, all)
+    while node is not None and (
+        node.filter is not None or node.projection is not None
+    ):
+        if node.projection is not None:
+            names: set = set()
+            dyns: list = []
+            has_all = False
+            for e in node.projection.exprs:
+                if type(e) is E.Column:
+                    names.add(e.column_name)
+                elif isinstance(e, E.DurationExpr):
+                    names.add("timestamp")
+                elif isinstance(e, E.DynamicColumn):
+                    dyns.append(e.column_name)
+                elif isinstance(e, E.AllExpr):
+                    has_all = True
+                else:
+                    raise NotCompilable("computed pre-projection")
+            pre_sets.append((names, dyns, has_all))
+        else:
+            if filt is not None:
+                raise NotCompilable("multiple filter nodes")
+            filt = node.filter.expr
         node = node.input
     if node is None or node.table_scan is None:
         raise NotCompilable("input is not a plain table scan")
+
+    def _projected(name: str) -> bool:
+        for names, dyns, has_all in pre_sets:
+            if has_all or name in names:
+                continue
+            if any(
+                name == d or name.startswith(d + ".") for d in dyns
+            ):
+                continue
+            return False
+        return True
     scan = node.table_scan
     table = scan.provider.get_table(scan.table_name)
     if table is None:
         raise NotCompilable(f"table not found: {scan.table_name}")
 
-    if not agg.group_exprs or any(
-        type(ge) is not E.Column for ge in agg.group_exprs
-    ):
+    if not agg.group_exprs:
         raise NotCompilable("compiled path needs concrete group columns")
-    group_cols: list[str] = []
+    group_cols: list[str] = []  # names (projection indexing below)
+    group_specs: list = []  # str | ("int", name, window)
     for ge in agg.group_exprs:
-        # the generic engine matches each column once (first expr wins)
-        if ge.column_name not in group_cols:
-            group_cols.append(ge.column_name)
-    if len(group_cols) > 2:
+        if type(ge) is E.Column:
+            # the generic engine matches each column once (first expr wins)
+            if ge.column_name not in group_cols:
+                group_cols.append(ge.column_name)
+                group_specs.append(ge.column_name)
+        elif isinstance(ge, E.DurationExpr):
+            # Windowed aggregation key (the Parca Range query's
+            # second(timestamp), reference expr.go:1072 DurationExpr,
+            # sqlparse/visitor.go:332): an int64 "timestamp" key truncated
+            # to the window. The generic engine appends the window column
+            # even when "timestamp" was already grouped; that degenerate
+            # duplicate stays generic (CompiledFilterAggregate rejects it).
+            group_cols.append("timestamp")
+            group_specs.append(
+                ("int", "timestamp", max(ge.milliseconds, 1))
+            )
+        else:
+            raise NotCompilable("compiled path needs concrete group columns")
+    if len(group_specs) > 2:
         raise NotCompilable("compiled path groups by at most 2 columns")
-    group_col = group_cols[0] if len(group_cols) == 1 else group_cols
+    group_col = group_specs[0] if len(group_specs) == 1 else group_specs
 
     aggs: list[tuple[str, str, str]] = []
     seen_names: set[str] = set()
@@ -1515,6 +1722,13 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
                 output_projection.append(
                     ("group", group_cols.index(e.column_name))
                 )
+            elif isinstance(e, E.DurationExpr):
+                spec = ("int", "timestamp", max(e.milliseconds, 1))
+                if spec not in group_specs:
+                    raise NotCompilable("window projection without its key")
+                output_projection.append(
+                    ("group", group_specs.index(spec))
+                )
             elif isinstance(e, E.AggregationFunction):
                 name = e.name()
                 if name not in agg_names:
@@ -1544,6 +1758,20 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
                     raise NotCompilable("projection expr not compiled")
             else:
                 raise NotCompilable("projection expr not compiled")
+
+    if pre_sets:
+        # Coverage check for the pass-through pre-projections: every column
+        # the fused query reads must survive the narrowing, else the
+        # generic engine's missing-column semantics differ from reading
+        # the raw parts.
+        needed = list(group_cols) + [c for _f, c, _n in aggs]
+        if filter_spec:
+            needed += [c for c, _op, _lit in filter_spec]
+        for name in needed:
+            if not _projected(name):
+                raise NotCompilable(
+                    f"pre-projection drops {name} (generic semantics)"
+                )
 
     # Mirror the generic planner's operator choice: when it would pick
     # OrderedAggregate (physical._should_plan_ordered with ordering_ok=True —

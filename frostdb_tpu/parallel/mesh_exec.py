@@ -149,7 +149,8 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             for spec in self.aggs
         )
         gshape = tuple(
-            (gcol.remap is not None, gcol.k) for gcol in self._gplan
+            (gcol.kind, gcol.remap is not None, gcol.k)
+            for gcol in self._gplan
         )
         return (tuple(leaves), ops, gshape)
 
@@ -173,22 +174,32 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         pmax = (lambda x, a: x) if trivial else jax.lax.pmax
 
         def step(*xs):
-            # xs layout: n, then per group col (codes, valid, [remap]),
-            # then per present leaf (int: fvals,fvalid,lit | nulllit:
-            # fvalid | dict: fcodes,fvalid,lut), then per non-count agg
-            # (vals, vvalid).
+            # xs layout: n, then per group col (dict: codes, valid, [remap]
+            # | int: values, valid, window, base), then per present leaf
+            # (int: fvals,fvalid,lit | nulllit: fvalid | dict:
+            # fcodes,fvalid,lut), then per non-count agg (vals, vvalid).
             n = xs[0]
             i = 1
             gcodes = None
             gvalid = None
-            for has_remap, k in gshape:
-                c, v = xs[i], xs[i + 1]
-                i += 2
-                if has_remap:
-                    # Compact per-column code space (_group_remap): one
-                    # replicated-LUT gather per row.
-                    c = jnp.take(xs[i], c, mode="clip")
-                    i += 1
+            for kind, has_remap, k in gshape:
+                if kind == "int":
+                    # Window code: value // w - base (runtime scalars, so a
+                    # sliding time range never recompiles the program).
+                    raw, v = xs[i], xs[i + 1]
+                    win, base = xs[i + 2], xs[i + 3]
+                    i += 4
+                    c = jnp.clip(raw // win - base, 0, k - 1).astype(
+                        jnp.int32
+                    )
+                else:
+                    c, v = xs[i], xs[i + 1]
+                    i += 2
+                    if has_remap:
+                        # Compact per-column code space (_group_remap): one
+                        # replicated-LUT gather per row.
+                        c = jnp.take(xs[i], c, mode="clip")
+                        i += 1
                 gcodes = c if gcodes is None else gcodes * jnp.int32(k) + c
                 gvalid = v if gvalid is None else gvalid & v
             m = gcodes.shape[0]
@@ -284,10 +295,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             prog = jax.jit(step)
         else:
             in_specs = [P()]
-            for has_remap, _k in gshape:
-                in_specs += [P(axis), P(axis)]
-                if has_remap:
-                    in_specs.append(P())
+            for kind, has_remap, _k in gshape:
+                if kind == "int":
+                    in_specs += [P(axis), P(axis), P(), P()]
+                else:
+                    in_specs += [P(axis), P(axis)]
+                    if has_remap:
+                        in_specs.append(P())
             for leaf_sig in leaves:
                 if leaf_sig is None:
                     continue
@@ -319,9 +333,17 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         args = [jnp.asarray(part.batch.num_rows, jnp.int64)]
         for gcol in self._gplan:
             g = sp.column(gcol.name)
-            args += [g.data, g.validity]
-            if gcol.remap is not None:
-                args.append(self._remap_dev(gcol))
+            if gcol.kind == "int":
+                args += [
+                    g.data,
+                    g.validity,
+                    jnp.asarray(gcol.window, jnp.int64),
+                    jnp.asarray(gcol.base, jnp.int64),
+                ]
+            else:
+                args += [g.data, g.validity]
+                if gcol.remap is not None:
+                    args.append(self._remap_dev(gcol))
         for i, leaf in enumerate(self.filters):
             f = sp.column(leaf.column)
             if f is None:

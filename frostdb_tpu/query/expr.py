@@ -68,6 +68,10 @@ class Expr:
         def visit(e: Expr) -> bool:
             if isinstance(e, (Column, DynamicColumn, AllExpr)):
                 out.append(e)
+            elif isinstance(e, DurationExpr):
+                # Windowed keys read the timestamp column (reference:
+                # expr.go DurationExpr.ColumnsUsedExprs).
+                out.append(Column("timestamp"))
             return True
 
         self.accept(visit)

@@ -330,6 +330,26 @@ def project_expr(batch: ColumnBatch, expr: E.Expr) -> list[Column]:
                 np.ones(batch.num_rows, dtype=np.bool_),
             )
         ]
+    if isinstance(expr, E.DurationExpr):
+        # Window-key projection (the avg rewrite appends group exprs to the
+        # post-aggregation projection, builder.go:190 — the reference's
+        # projectionFromExpr has NO DurationExpr case and errors on this
+        # shape; here the key passes through): truncate "timestamp" to the
+        # window. Post-aggregation the values are already aligned, so the
+        # truncation is idempotent.
+        ts = batch.column("timestamp")
+        if ts is None:
+            return []
+        w = max(expr.milliseconds, 1)
+        return [
+            Column(
+                "timestamp",
+                ts.kind,
+                (ts.values // w) * w,
+                ts.validity,
+                ts.dictionary,
+            )
+        ]
     raise EvalError(f"unsupported projection expr {expr!r}")
 
 

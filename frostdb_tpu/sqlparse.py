@@ -203,7 +203,11 @@ class _Parser:
                     post.append(f)
                 else:
                     pre.append(f)
-                    if isinstance(f, E.DynamicColumn):
+                    if isinstance(f, (E.DynamicColumn, E.DurationExpr)):
+                        # Projected by matcher semantics (DynCol) / window
+                        # alignment (Duration — physeval's DurationExpr
+                        # projection emits the aligned "timestamp" key);
+                        # a plain Col(f.name()) would match nothing.
                         post.append(f)
                     else:
                         post.append(E.Col(f.name()))

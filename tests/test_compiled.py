@@ -108,8 +108,10 @@ def test_compiled_matches_engine_unfiltered():
 
 def test_not_compilable_patterns():
     _s, _db, table = _setup(n_parts=1, rows=100)
+    # int64 group keys (timestamp) compile since round 4; unknown columns
+    # and uncompiled agg functions still fall back.
     with pytest.raises(NotCompilable):
-        compile_filter_aggregate(table, "timestamp", [("sum", "value")])
+        compile_filter_aggregate(table, "nosuch", [("sum", "value")])
     with pytest.raises(NotCompilable):
         compile_filter_aggregate(table, "example_type", [("unique", "value")])
 
