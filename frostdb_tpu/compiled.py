@@ -320,58 +320,67 @@ class CompiledFilterAggregate:
                 else:
                     plan.need_minmax = True
             self.aggs.append(_AggSpec(func, col, result_name))
+        # CNF filter: an AND of OR-clauses (reference filter.go:167-229
+        # AndExpr/OrExpr trees). ``filters`` is the flat leaf list (LUT
+        # caches key by leaf index); ``clauses`` holds leaf indices per
+        # conjunct — a single-leaf clause is the plain comparison case.
         self.filters: list[_FilterLeaf] = []
+        self.clauses: list[list[int]] = []
         self.filter_expr = filter_expr
         if filter:
             if isinstance(filter, tuple):
                 filter = [filter]
-            for fcol, fop, lit in filter:
-                fdef = schema.column_by_name(fcol)
-                if fdef is None:
-                    raise NotCompilable(f"unknown filter column {fcol}")
-                if fdef.layout.type == "string":
-                    if fop not in _DICT_FILTER_OPS:
-                        raise NotCompilable(
-                            f"filter op {fop} not on string columns"
-                        )
-                    if lit is None:
-                        if fop not in (E.OP_EQ, E.OP_NOT_EQ):
-                            raise NotCompilable("null literal needs ==/!=")
-                    elif not isinstance(lit, str):
-                        # The generic dict path str()-coerces; keep the
-                        # compiled envelope to provably-identical shapes.
-                        raise NotCompilable("string filter literal not str")
-                    ffam = fcol.split(".", 1)[0]
-                    self.filters.append(
-                        _FilterLeaf(
-                            fcol, fop, lit, "dict", table.dictionary(ffam)
-                        )
-                    )
-                elif fdef.layout.type == "int64":
-                    if fop not in _COMPARE_FILTER_OPS:
-                        raise NotCompilable(f"filter op {fop} not comparable")
-                    if not isinstance(lit, int) or isinstance(lit, bool):
-                        raise NotCompilable("filter literal is not an int")
-                    if not (-(2**63) <= lit < 2**63):
-                        raise NotCompilable(
-                            "filter literal outside int64 range"
-                        )
-                    self.filters.append(_FilterLeaf(fcol, fop, lit, "int"))
-                else:
-                    raise NotCompilable(
-                        "compiled filters compare int or dict columns"
-                    )
-        if self.filter_expr is None and self.filters:
+            for clause in filter:
+                leaves = [clause] if isinstance(clause, tuple) else list(clause)
+                idxs = []
+                for fcol, fop, lit in leaves:
+                    idxs.append(len(self.filters))
+                    self.filters.append(self._make_leaf(schema, fcol, fop, lit))
+                self.clauses.append(idxs)
+        if self.filter_expr is None and self.clauses:
             # Synthesize the expr tree so direct compile_filter_aggregate
             # callers get the same TrueNegativeFilter part pruning the
-            # engine path gets (lsm.prune_part).
+            # engine path gets (lsm.prune_part handles OR soundly: prune
+            # only when every branch proves empty).
             e = None
-            for leaf in self.filters:
-                t = E.BinaryExpr(
-                    E.Column(leaf.column), leaf.op, E.Literal(leaf.lit)
-                )
+            for idxs in self.clauses:
+                t = None
+                for i in idxs:
+                    leaf = self.filters[i]
+                    le = E.BinaryExpr(
+                        E.Column(leaf.column), leaf.op, E.Literal(leaf.lit)
+                    )
+                    t = le if t is None else E.BinaryExpr(t, E.OP_OR, le)
                 e = t if e is None else E.BinaryExpr(e, E.OP_AND, t)
             self.filter_expr = e
+
+    def _make_leaf(self, schema, fcol, fop, lit) -> _FilterLeaf:
+        fdef = schema.column_by_name(fcol)
+        if fdef is None:
+            raise NotCompilable(f"unknown filter column {fcol}")
+        if fdef.layout.type == "string":
+            if fop not in _DICT_FILTER_OPS:
+                raise NotCompilable(f"filter op {fop} not on string columns")
+            if lit is None:
+                if fop not in (E.OP_EQ, E.OP_NOT_EQ):
+                    raise NotCompilable("null literal needs ==/!=")
+            elif not isinstance(lit, str):
+                # The generic dict path str()-coerces; keep the
+                # compiled envelope to provably-identical shapes.
+                raise NotCompilable("string filter literal not str")
+            ffam = fcol.split(".", 1)[0]
+            return _FilterLeaf(
+                fcol, fop, lit, "dict", self.table.dictionary(ffam)
+            )
+        if fdef.layout.type == "int64":
+            if fop not in _COMPARE_FILTER_OPS:
+                raise NotCompilable(f"filter op {fop} not comparable")
+            if not isinstance(lit, int) or isinstance(lit, bool):
+                raise NotCompilable("filter literal is not an int")
+            if not (-(2**63) <= lit < 2**63):
+                raise NotCompilable("filter literal outside int64 range")
+            return _FilterLeaf(fcol, fop, lit, "int")
+        raise NotCompilable("compiled filters compare int or dict columns")
 
     # ------------------------------------------------------------------
 
@@ -524,7 +533,11 @@ class CompiledFilterAggregate:
         if gmin is None:
             return _GroupCol(gc, None, kind="int", window=window, k=1)
         lo_w, hi_w = gmin // window, gmax // window
-        for leaf in self.filters:
+        for idxs in self.clauses:
+            if len(idxs) != 1:
+                # A leaf inside an OR clause does not constrain all rows.
+                continue
+            leaf = self.filters[idxs[0]]
             if leaf.kind != "int" or leaf.column != gc:
                 continue
             lit = leaf.lit
@@ -639,10 +652,24 @@ class CompiledFilterAggregate:
                 p, self.filter_expr, memo
             )
             if not skip:
-                for leaf in self.filters:
-                    if p.batch.column(
-                        leaf.column
-                    ) is None and not _missing_leaf_all_true(leaf):
+                # Per-clause static resolution on missing dynamic columns:
+                # a missing all-true leaf makes its whole OR clause true
+                # for the part; a clause whose leaves are ALL missing and
+                # all false selects nothing — the part is skipped.
+                for idxs in self.clauses:
+                    clause_true = False
+                    any_present = False
+                    for i in idxs:
+                        leaf = self.filters[i]
+                        if p.batch.column(leaf.column) is None:
+                            if _missing_leaf_all_true(leaf):
+                                clause_true = True
+                                break
+                        else:
+                            any_present = True
+                    if clause_true:
+                        continue
+                    if not any_present:
                         skip = True
                         break
             if skip:
@@ -758,12 +785,8 @@ class CompiledFilterAggregate:
         gvalid = pad2d(gvalid_all.astype(jnp.int32))
         row_valid = pad2d(dev.row_valid_mask().astype(jnp.int32))
         sel = row_valid * gvalid
-        for i, leaf in enumerate(self.filters):
-            f = dev.column(leaf.column)
-            if f is None:
-                # Missing dynamic column: statically all-true for this
-                # part (all-false parts were dropped by _filter_parts).
-                continue
+
+        def leaf_mask(i, leaf, f):
             fvalid = pad2d(f.validity.astype(jnp.int32))
             if leaf.kind == "int":
                 # Full-width int64 compare in XLA (x64 i64 is exact on
@@ -779,19 +802,35 @@ class CompiledFilterAggregate:
                     "==": fv == lit,
                     "!=": fv != lit,
                 }[leaf.op]
-                sel = sel * pad2d(cmp.astype(jnp.int32)) * fvalid
-            elif leaf.lit is None:
+                return pad2d(cmp.astype(jnp.int32)) * fvalid
+            if leaf.lit is None:
                 # == null selects invalid slots, != null selects valid
                 # ones (DictionaryArrayScalarEqual's null special case,
                 # binaryscalarexpr.go:205).
-                sel = sel * (
-                    fvalid if leaf.op == E.OP_NOT_EQ else (1 - fvalid)
-                )
-            else:
-                lut = self._leaf_lut_dev(i)
-                fc = pad2d(f.data.astype(jnp.int32))
-                m = jnp.take(lut, fc, mode="clip")
-                sel = sel * m * fvalid
+                return fvalid if leaf.op == E.OP_NOT_EQ else (1 - fvalid)
+            lut = self._leaf_lut_dev(i)
+            fc = pad2d(f.data.astype(jnp.int32))
+            return jnp.take(lut, fc, mode="clip") * fvalid
+
+        for idxs in self.clauses:
+            # OR clause: union of leaf masks (filter.go:196 OrExpr); a
+            # missing all-true leaf makes the clause a no-op for the part,
+            # missing all-false leaves drop out of the union.
+            clause = None
+            static_true = False
+            for i in idxs:
+                leaf = self.filters[i]
+                f = dev.column(leaf.column)
+                if f is None:
+                    if _missing_leaf_all_true(leaf):
+                        static_true = True
+                        break
+                    continue
+                m = leaf_mask(i, leaf, f)
+                clause = m if clause is None else jnp.maximum(clause, m)
+            if static_true:
+                continue
+            sel = sel * (clause if clause is not None else 0)
         return codes, sel
 
     def _value_planes(self, part, plan: _ValuePlan):
@@ -935,7 +974,12 @@ class CompiledFilterAggregate:
             v = self._sp_plane(sp, "valid", gcol.name)
             gvalid = v if gvalid is None else gvalid * v
         sel = self._sp_plane(sp, "rowvalid", None) * gvalid
-        for i, leaf in enumerate(self.filters):
+
+        def leaf_planes(i, leaf):
+            """(mask, static) per leaf over the concatenated planes:
+            ``mask`` where the column exists, ``static`` (0/1 plane) where
+            the part lacks it — missing-column semantics resolve per part
+            via the cached ``has`` plane."""
             has = self._sp_plane(sp, "has", leaf.column)
             fvalid = self._sp_plane(sp, "valid_m", leaf.column)
             if leaf.kind == "int":
@@ -956,9 +1000,16 @@ class CompiledFilterAggregate:
                 lut = self._leaf_lut_dev(i)
                 fc = self._sp_plane(sp, "codes_m", leaf.column)
                 m = jnp.take(lut, fc, mode="clip") * fvalid
-            # Parts lacking the column: the leaf is statically all-true for
-            # their rows (same semantics as the per-part skip).
-            sel = sel * jnp.where(has == 1, m, 1)
+            static = 1 if _missing_leaf_all_true(leaf) else 0
+            return jnp.where(has == 1, m, static)
+
+        for idxs in self.clauses:
+            # OR clause: union of leaf masks (filter.go:196 OrExpr).
+            clause = None
+            for i in idxs:
+                m = leaf_planes(i, self.filters[i])
+                clause = m if clause is None else jnp.maximum(clause, m)
+            sel = sel * clause
         return combined, sel
 
     def _value_planes_concat(self, sp, plan: _ValuePlan):
@@ -1011,10 +1062,8 @@ class CompiledFilterAggregate:
         sel = np.ones(hi - lo, dtype=np.bool_)
         for gcol in self._gplan:
             sel &= part.batch.column(gcol.name).validity[lo:hi]
-        for i, leaf in enumerate(self.filters):
-            f = part.batch.column(leaf.column)
-            if f is None:
-                continue  # statically all-true (see _codes_sel)
+
+        def leaf_mask(i, leaf, f):
             fvalid = f.validity[lo:hi]
             if leaf.kind == "int":
                 fv = f.values[lo:hi]
@@ -1027,13 +1076,29 @@ class CompiledFilterAggregate:
                     "==": fv == lit,
                     "!=": fv != lit,
                 }[leaf.op]
-                sel &= cmp & fvalid
-            elif leaf.lit is None:
-                sel &= fvalid if leaf.op == E.OP_NOT_EQ else ~fvalid
-            else:
-                lut = self._leaf_lut_np(i)
-                codes = np.minimum(f.values[lo:hi], len(lut) - 1)
-                sel &= lut[codes] & fvalid
+                return cmp & fvalid
+            if leaf.lit is None:
+                return fvalid if leaf.op == E.OP_NOT_EQ else ~fvalid
+            lut = self._leaf_lut_np(i)
+            codes = np.minimum(f.values[lo:hi], len(lut) - 1)
+            return lut[codes] & fvalid
+
+        for idxs in self.clauses:
+            clause = None
+            static_true = False
+            for i in idxs:
+                leaf = self.filters[i]
+                f = part.batch.column(leaf.column)
+                if f is None:
+                    if _missing_leaf_all_true(leaf):
+                        static_true = True
+                        break
+                    continue
+                m = leaf_mask(i, leaf, f)
+                clause = m if clause is None else (clause | m)
+            if static_true:
+                continue
+            sel &= clause if clause is not None else False
         return sel
 
     def _decode_codes(self, codes: np.ndarray) -> list[np.ndarray]:
@@ -1686,30 +1751,48 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
 
     filter_spec = None
     if filt is not None:
-        # Flatten the AND tree into conjunct leaves; each must be a plain
-        # ``col <op> literal`` comparison (per-leaf type/op validation
-        # happens in CompiledFilterAggregate.__init__ against the schema).
-        leaves: list = []
+        # Flatten the AND tree into conjuncts; each conjunct is a plain
+        # ``col <op> literal`` comparison or an OR tree of them (the CNF
+        # the reference's BooleanExpression compiler evaluates,
+        # filter.go:167-229). AND under OR is not CNF — generic path.
+        # Per-leaf type/op validation happens in
+        # CompiledFilterAggregate.__init__ against the schema.
+        conjuncts: list = []
 
         def flatten(e) -> None:
             if isinstance(e, E.BinaryExpr) and e.op == E.OP_AND:
                 flatten(e.left)
                 flatten(e.right)
                 return
-            leaves.append(e)
+            conjuncts.append(e)
 
-        flatten(filt)
-        filter_spec = []
-        for e in leaves:
+        def leaf_tuple(e):
             if not (
                 isinstance(e, E.BinaryExpr)
                 and type(e.left) is E.Column
                 and isinstance(e.right, E.Literal)
             ):
                 raise NotCompilable(
-                    "filter is not an AND of col <op> literal"
+                    "filter is not a CNF of col <op> literal"
                 )
-            filter_spec.append((e.left.column_name, e.op, e.right.value))
+            return (e.left.column_name, e.op, e.right.value)
+
+        def flatten_or(e, out: list) -> None:
+            if isinstance(e, E.BinaryExpr) and e.op == E.OP_OR:
+                flatten_or(e.left, out)
+                flatten_or(e.right, out)
+                return
+            out.append(leaf_tuple(e))
+
+        flatten(filt)
+        filter_spec = []
+        for e in conjuncts:
+            if isinstance(e, E.BinaryExpr) and e.op == E.OP_OR:
+                ors: list = []
+                flatten_or(e, ors)
+                filter_spec.append(ors)
+            else:
+                filter_spec.append(leaf_tuple(e))
 
     output_projection = None
     if proj_node is not None:

@@ -127,21 +127,50 @@ class MeshFilterAggregate(CompiledFilterAggregate):
 
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
-    def _part_signature(self, part) -> tuple:
-        """Static program structure for one part: which filter leaves are
-        present (missing dynamic columns resolve statically — all-false
-        parts were dropped by _filter_parts, all-true leaves are no-ops),
-        the group-key plan shape, and the aggregation op list."""
-        leaves = []
-        for leaf in self.filters:
-            if part.batch.column(leaf.column) is None:
-                leaves.append(None)
-            elif leaf.kind == "int":
-                leaves.append(("int", leaf.op))
-            elif leaf.lit is None:
-                leaves.append(("nulllit", leaf.op))
+    def _clause_layout(self, part) -> list:
+        """Per-part static resolution of the CNF clauses: each entry is
+        "true" (a missing all-true leaf makes the whole OR clause a no-op),
+        "false" (every leaf missing and false — unreachable through
+        _filter_parts, kept for direct callers), or a list of
+        (leaf_index, sig) for the leaves present in the part."""
+        from ..compiled import _missing_leaf_all_true
+
+        layout = []
+        for idxs in self.clauses:
+            static_true = False
+            present: list = []
+            for i in idxs:
+                leaf = self.filters[i]
+                if part.batch.column(leaf.column) is None:
+                    if _missing_leaf_all_true(leaf):
+                        static_true = True
+                        break
+                    continue
+                if leaf.kind == "int":
+                    present.append((i, ("int", leaf.op)))
+                elif leaf.lit is None:
+                    present.append((i, ("nulllit", leaf.op)))
+                else:
+                    present.append((i, ("dict",)))
+            if static_true:
+                layout.append("true")
+            elif not present:
+                layout.append("false")
             else:
-                leaves.append(("dict",))
+                layout.append(present)
+        return layout
+
+    def _part_signature(self, part) -> tuple:
+        """Static program structure for one part: the clause layout (which
+        filter leaves are present — missing dynamic columns resolve
+        statically), the group-key plan shape, and the aggregation op
+        list."""
+        clause_sigs = tuple(
+            lay
+            if isinstance(lay, str)
+            else tuple(sig for _i, sig in lay)
+            for lay in self._clause_layout(part)
+        )
         ops = tuple(
             (spec.func, self.value_plans[spec.column].is_float)
             if spec.func != E.AGG_COUNT
@@ -152,7 +181,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             (gcol.kind, gcol.remap is not None, gcol.k)
             for gcol in self._gplan
         )
-        return (tuple(leaves), ops, gshape)
+        return (clause_sigs, ops, gshape)
 
     def _program(self, sig: tuple, num_codes: int, per_shard: int):
         key = (id(self.mesh), self.axis, sig, num_codes, self.trivial)
@@ -166,7 +195,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
 
         from ..ops import kernels as K
 
-        leaves, ops, gshape = sig
+        clause_sigs, ops, gshape = sig
         axis = self.axis
         trivial = self.trivial
         psum = (lambda x, a: x) if trivial else jax.lax.psum
@@ -211,35 +240,48 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     + jnp.arange(m, dtype=jnp.int64)
                 )
             sel = gvalid & (rows < n)
-            for leaf_sig in leaves:
-                if leaf_sig is None:
+            for clause_sig in clause_sigs:
+                # CNF: AND of OR clauses (filter.go:167-229). "true" =
+                # statically satisfied for this part (missing all-true
+                # leaf); "false" = statically empty.
+                if clause_sig == "true":
                     continue
-                if leaf_sig[0] == "int":
-                    fv, fvalid, lit = xs[i], xs[i + 1], xs[i + 2]
-                    i += 3
-                    # Full-width int64 compare (x64 i64 is exact on TPU).
-                    op = leaf_sig[1]
-                    cmp = {
-                        "<": fv < lit,
-                        "<=": fv <= lit,
-                        ">": fv > lit,
-                        ">=": fv >= lit,
-                        "==": fv == lit,
-                        "!=": fv != lit,
-                    }[op]
-                    sel = sel & cmp & fvalid
-                elif leaf_sig[0] == "nulllit":
-                    # == null selects invalid slots, != null valid ones
-                    # (binaryscalarexpr.go:205).
-                    fvalid = xs[i]
-                    i += 1
-                    sel = sel & (
-                        fvalid if leaf_sig[1] == E.OP_NOT_EQ else ~fvalid
-                    )
-                else:
-                    fcodes, fvalid, lut = xs[i], xs[i + 1], xs[i + 2]
-                    i += 3
-                    sel = sel & jnp.take(lut, fcodes, mode="clip") & fvalid
+                if clause_sig == "false":
+                    sel = sel & False
+                    continue
+                cmask = None
+                for leaf_sig in clause_sig:
+                    if leaf_sig[0] == "int":
+                        fv, fvalid, lit = xs[i], xs[i + 1], xs[i + 2]
+                        i += 3
+                        # Full-width int64 compare (x64 i64 is exact on
+                        # TPU).
+                        op = leaf_sig[1]
+                        cmp = {
+                            "<": fv < lit,
+                            "<=": fv <= lit,
+                            ">": fv > lit,
+                            ">=": fv >= lit,
+                            "==": fv == lit,
+                            "!=": fv != lit,
+                        }[op]
+                        lm = cmp & fvalid
+                    elif leaf_sig[0] == "nulllit":
+                        # == null selects invalid slots, != null valid ones
+                        # (binaryscalarexpr.go:205).
+                        fvalid = xs[i]
+                        i += 1
+                        lm = (
+                            fvalid
+                            if leaf_sig[1] == E.OP_NOT_EQ
+                            else ~fvalid
+                        )
+                    else:
+                        fcodes, fvalid, lut = xs[i], xs[i + 1], xs[i + 2]
+                        i += 3
+                        lm = jnp.take(lut, fcodes, mode="clip") & fvalid
+                    cmask = lm if cmask is None else (cmask | lm)
+                sel = sel & cmask
             c32 = gcodes.astype(jnp.int32)
             vlist = []
             vops = []
@@ -302,15 +344,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     in_specs += [P(axis), P(axis)]
                     if has_remap:
                         in_specs.append(P())
-            for leaf_sig in leaves:
-                if leaf_sig is None:
+            for clause_sig in clause_sigs:
+                if isinstance(clause_sig, str):
                     continue
-                if leaf_sig[0] == "int":
-                    in_specs += [P(axis), P(axis), P()]
-                elif leaf_sig[0] == "nulllit":
-                    in_specs += [P(axis)]
-                else:
-                    in_specs += [P(axis), P(axis), P()]
+                for leaf_sig in clause_sig:
+                    if leaf_sig[0] == "int":
+                        in_specs += [P(axis), P(axis), P()]
+                    elif leaf_sig[0] == "nulllit":
+                        in_specs += [P(axis)]
+                    else:
+                        in_specs += [P(axis), P(axis), P()]
             for func, _is_float in ops:
                 if func != E.AGG_COUNT:
                     in_specs += [P(axis), P(axis)]
@@ -344,16 +387,22 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 args += [g.data, g.validity]
                 if gcol.remap is not None:
                     args.append(self._remap_dev(gcol))
-        for i, leaf in enumerate(self.filters):
-            f = sp.column(leaf.column)
-            if f is None:
+        for lay in self._clause_layout(part):
+            if isinstance(lay, str):
                 continue
-            if leaf.kind == "int":
-                args += [f.data, f.validity, jnp.asarray(leaf.lit, jnp.int64)]
-            elif leaf.lit is None:
-                args += [f.validity]
-            else:
-                args += [f.data, f.validity, self._leaf_lut_mesh(i)]
+            for i, _sig in lay:
+                leaf = self.filters[i]
+                f = sp.column(leaf.column)
+                if leaf.kind == "int":
+                    args += [
+                        f.data,
+                        f.validity,
+                        jnp.asarray(leaf.lit, jnp.int64),
+                    ]
+                elif leaf.lit is None:
+                    args += [f.validity]
+                else:
+                    args += [f.data, f.validity, self._leaf_lut_mesh(i)]
         for spec in self.aggs:
             if spec.func == E.AGG_COUNT:
                 continue

@@ -232,10 +232,112 @@ def test_direct_api_list_filter_matches_engine():
     assert got == expect
 
 
-def test_or_filters_fall_back():
-    _s, db, _t = _mk([dict(p) for p in _PARTS], db_name="o")
-    filt = E.BinaryExpr(
-        E.Col("timestamp").lt(20), E.OP_OR, E.Col("timestamp").gt(90)
+# --- OR / IN predicates in the fused envelope (VERDICT r3 item 3;
+# reference filter.go:196-229 OrExpr) -----------------------------------
+
+_OR_FILTERS = [
+    # same-column int OR (range union)
+    E.Or(E.Col("timestamp").lt(20), E.Col("timestamp").gt(90)),
+    # same-column dict OR — the IN (a, b) shape folds into LUT unions
+    E.Or(E.Col("labels.job").eq("api"), E.Col("labels.job").eq("web")),
+    # three-way IN
+    E.Or(
+        E.Col("labels.job").eq("api"),
+        E.Col("labels.job").eq("web"),
+        E.Col("labels.job").eq("cron"),
+    ),
+    # cross-column OR (dict vs int)
+    E.Or(E.Col("labels.job").eq("batch"), E.Col("timestamp").gt_eq(95)),
+    # OR with a null literal branch
+    E.Or(E.Col("labels.job").eq(None), E.Col("timestamp").lt(7)),
+    # AND of (leaf, OR clause) — CNF
+    E.And(
+        E.Col("timestamp").gt_eq(10),
+        E.Or(E.Col("labels.job").eq("api"), E.Col("labels.job").eq("cron")),
+    ),
+    # two OR clauses ANDed
+    E.And(
+        E.Or(E.Col("timestamp").lt(60), E.Col("timestamp").gt(94)),
+        E.Or(
+            E.Col("labels.job").not_eq("batch"),
+            E.Col("example_type").eq("c"),
+        ),
+    ),
+    # regex branch in an OR
+    E.Or(
+        E.Col("labels.job").regex_match("^a"),
+        E.Col("example_type").eq("d"),
+    ),
+]
+
+
+@pytest.mark.parametrize("i", range(len(_OR_FILTERS)))
+def test_or_filters_compile_with_parity(i):
+    _s, db, _t = _mk([dict(p) for p in _PARTS], db_name=f"or{i}")
+    _assert_parity(db, _OR_FILTERS[i])
+
+
+@pytest.mark.parametrize("i", range(len(_OR_FILTERS)))
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_or_filters_mesh_parity(i, n_dev):
+    from frostdb_tpu.parallel.mesh import make_mesh
+
+    _s, db, _t = _mk([dict(p) for p in _PARTS], db_name=f"orm{i}{n_dev}")
+    engine = LocalEngine(
+        db.table_provider(), ExecOptions(mesh=make_mesh(n_dev))
+    )
+    out = []
+    engine.scan_table("t").filter(_OR_FILTERS[i]).aggregate(
+        [E.Sum(E.Col("value")), E.Count(E.Col("value"))],
+        [E.Col("example_type")],
+    ).execute(out.append)
+    assert engine.last_serving_path == "mesh"
+    slow = _run(db, False, _OR_FILTERS[i])
+    assert _rows(out) == _rows(slow)
+
+
+def test_or_pruning_is_sound():
+    """A part is pruned only when EVERY branch proves empty; one live
+    branch keeps it scanned (lsm.prune_part OR semantics)."""
+    _s, db, table = _mk([dict(p) for p in _PARTS], db_name="orp")
+    # both branches provably miss part 3 ("batch"/"cron" jobs, ts 50-65):
+    filt_prunable = E.Or(
+        E.Col("labels.job").eq("api"), E.Col("timestamp").gt(90)
+    )
+    # jobs never match but the ts branch hits part 3 -> must NOT prune
+    filt_live = E.Or(
+        E.Col("labels.job").eq("api"), E.Col("timestamp").gt_eq(50)
+    )
+    from frostdb_tpu.compiled import lower_plan
+    from frostdb_tpu.query.logical import Builder
+
+    for filt, pruned_expected in ((filt_prunable, True), (filt_live, False)):
+        plan = Builder().scan(db.table_provider(), "t").filter(filt).aggregate(
+            [E.Sum(E.Col("value"))], [E.Col("example_type")]
+        ).build()
+        from frostdb_tpu.query.optimize import optimize
+
+        q = lower_plan(optimize(plan))
+        parts = table.collect_parts(2**63)
+        kept = q._filter_parts(parts)
+        batch_part = [
+            p for p in parts if set(np.asarray(p.batch.column("timestamp").values))
+            == {50, 55, 65}
+        ]
+        assert batch_part
+        if pruned_expected:
+            assert batch_part[0] not in kept
+        else:
+            assert batch_part[0] in kept
+        _assert_parity(db, filt)
+
+
+def test_and_inside_or_falls_back():
+    """AND under OR is not CNF — the generic engine serves it."""
+    _s, db, _t = _mk([dict(p) for p in _PARTS], db_name="ornf")
+    filt = E.Or(
+        E.And(E.Col("timestamp").lt(60), E.Col("example_type").eq("a")),
+        E.Col("timestamp").gt(90),
     )
     tracer = Tracer()
     fast = _run(db, True, filt, tracer)
