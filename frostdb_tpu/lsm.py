@@ -83,6 +83,18 @@ class Part:
         self._raw_ranges[name] = r
         return r
 
+    def all_valid(self, name: str) -> bool:
+        """Whether every slot of the column is valid — cached (parts are
+        immutable): per-query serving must not rescan a 2M-row validity
+        buffer per column (the compiled path's null-group-key gate)."""
+        key = ("all_valid", name)
+        if key in self._raw_ranges:
+            return self._raw_ranges[key]
+        c = self.batch.column(name)
+        ok = bool(c is not None and c.validity.all())
+        self._raw_ranges[key] = ok
+        return ok
+
     def float_integral(self, name: str) -> bool:
         """True when every raw slot of a float64 column holds an integral
         value with |v| <= 2^53 (null slots are zero-filled and integral) —
