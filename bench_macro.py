@@ -192,6 +192,19 @@ def main() -> None:
             engine=engine,
         )
 
+        # Device-resident filter->project row retrieval (round-4 envelope,
+        # reference filter.go:276-354 materialization): selection +
+        # compaction on device, host materializes only selected rows.
+        time_query(
+            "filter_project",
+            lambda i: drain(
+                engine.scan_table("stacktraces")
+                .filter(E.Col("value").gt(995_000 + i))  # ~0.5% selected
+                .project(E.Col("example_type"), E.Col("value"))
+            ),
+            engine=engine,
+        )
+
         # Serialize (bench_test.go:449): full sorted block serialization
         t0 = time.perf_counter()
         parts = table.active_block.index.rotate(

@@ -322,6 +322,123 @@ def pallas_group_min_max(codes, values, sel, num_codes: int):
     return mins, maxs
 
 
+def _make_compact_kernel(capb_tiles: int):
+    """Per-superblock selected-row compaction (the scan serving path's
+    bitmap -> row-position materialization, reference filter.go:276-354).
+
+    For one 8192-row block: exclusive prefix sums assign each selected row
+    its block-local output position in row-major (stream) order —
+    lane-prefix via a strictly-lower-triangular f32 matmul, sublane-prefix
+    via a [SUB, SUB] triangular matmul (counts <= 8192 are exact in f32) —
+    then the j-th selected row id is extracted with the same
+    broadcast-vs-sublane-iota one-hot matmul pattern as the aggregation
+    kernel (no transposes, no scatters: XLA-level compaction
+    (jnp.nonzero / cumsum+scatter / top_k) measures 12-1500 ms for 16.7M
+    rows on this TPU; this kernel is bandwidth-bound)."""
+
+    def _kernel(sel_ref, idx_ref):
+        self32 = sel_ref[:].astype(jnp.float32)  # [SUB, 128]
+        # exclusive lane prefix: p_lane[s, l] = sum_{l' < l} sel[s, l']
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri_l = (iota_r < iota_c).astype(jnp.float32)  # [l', l]
+        p_lane = jax.lax.dot_general(
+            self32,
+            tri_l,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # per-slab totals + exclusive sublane prefix
+        row_tot = p_lane[:, 127:128] + self32[:, 127:128]  # [SUB, 1]
+        iota_sr = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        iota_sc = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+        tri_s = (iota_sr < iota_sc).astype(jnp.float32)  # [s', s]
+        P = jax.lax.dot_general(
+            tri_s,
+            row_tot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [SUB, 1]: P[s] = sum_{s' < s} row_tot[s']
+        pos = p_lane + P  # [SUB, 128] block-local output position
+        total = P[SUB - 1 : SUB, 0:1] + row_tot[SUB - 1 : SUB, 0:1]
+
+        # Extraction on the MXU int8 path (the agg kernel's fast pattern;
+        # f32 matmuls decompose into multiple bf16 passes and rounded row
+        # ids past 256): positions of unselected rows fold to -1 so the
+        # one-hot needs a single int32 compare, and the row id splits
+        # bf16-free as lane (<= 127) + slab (<= 63) int8 LHS rows,
+        # recombined as 128*slab + lane on the [K]-sized output.
+        pos_m = jnp.where(
+            self32 > 0.5, pos, jnp.float32(-1)
+        ).astype(jnp.int32)  # [SUB, 128]
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        accs = [
+            jnp.zeros((8, 128), dtype=jnp.int32) for _ in range(capb_tiles)
+        ]
+        zeros_pad = jnp.zeros((6, 128), jnp.int8)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+            jnp.int8
+        )
+        for s in range(SUB):
+            slab_row = jnp.full((1, 128), jnp.int8(s))
+            lhs = jnp.concatenate(
+                [lane_iota, slab_row, zeros_pad], axis=0
+            )  # [8, 128] int8
+            bpos = jnp.broadcast_to(pos_m[s : s + 1, :], (128, 128))
+            for t in range(capb_tiles):
+                onehot = (bpos == iota_sub + jnp.int32(t * 128)).astype(
+                    jnp.int8
+                )  # [j, l]
+                accs[t] = accs[t] + jax.lax.dot_general(
+                    lhs,
+                    onehot,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        for t in range(capb_tiles):
+            idx_ref[0, :, t * 128 : (t + 1) * 128] = accs[t]
+        # the block count rides in output row 2 (row 0 = lane parts,
+        # row 1 = slab parts; rows 3-7 are matmul padding) — written
+        # AFTER the acc tiles.
+        idx_ref[0, 2:3, 0:128] = jnp.broadcast_to(
+            total.astype(jnp.int32), (1, 128)
+        )
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("capb",))
+def pallas_block_compact(sel, capb: int):
+    """(bc [n_super] int32, idx [n_super, capb] int32): per-8192-row-block
+    selected counts and the first ``capb`` selected row offsets per block
+    in ascending (stream) order; slots past a block's count are undefined
+    (the caller slices by bc). sel: [n_slabs, 128] int32 0/1."""
+    n_slabs = sel.shape[0]
+    n_super = n_slabs // SUB
+    assert n_super * SUB == n_slabs, (n_slabs, SUB)
+    tiles = -(-capb // 128)
+    cap_pad = tiles * 128
+
+    out = pl.pallas_call(
+        _make_compact_kernel(tiles),
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, cap_pad),
+            lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, cap_pad), jnp.int32),
+    )(sel)
+
+    idx = out[:, 0, :capb] + 128 * out[:, 1, :capb]
+    return (out[:, 2, 0], idx)
+
+
 def to_row_major(col):
     """[N] -> [N/128, 128] row-major slabs."""
     n = col.shape[0]

@@ -188,6 +188,19 @@ class LocalQueryBuilder:
                 return
             except NotCompilable as e:
                 reasons["dense"] = str(e) or type(e).__name__
+            # Device-resident filter->project serving (non-aggregate row
+            # retrieval): the selection mask + compaction run on device
+            # over the cached parts; the host materializes only selected
+            # rows (compiled_scan.py).
+            from ..compiled_scan import lower_plan_scan
+
+            try:
+                prog = lower_plan_scan(plan, self.engine.exec_options)
+                prog.execute_into(callback)
+                self._mark_path("compiled_scan", reasons, root_span)
+                return
+            except NotCompilable as e:
+                reasons["compiled_scan"] = str(e) or type(e).__name__
         elif self.engine.exec_options.allocator is not None:
             reasons["compiled"] = "memory-limited query (generic accounting)"
         with _span("physical/build"):
