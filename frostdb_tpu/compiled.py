@@ -172,6 +172,13 @@ class _ValuePlan:
     is_float: bool = False  # integral float64 riding the int path
     need_sum: bool = False
     need_minmax: bool = False
+    # Non-integral float64 sums: a floatsum.FloatSumPlan — the column
+    # decomposes on device into 3 base-2^28 digit planes + a biased top
+    # plane, summed exactly and recombined host-side with ONE rounding
+    # (VERDICT r3 item 5; the reference accumulates sequentially,
+    # aggregate.go:778).
+    fexact: object = None
+    fexact_top_digits: int = 1
 
 
 # lo-plane width for wide (two-plane) sums: 28 bits = 4 base-128 digits.
@@ -399,8 +406,13 @@ class CompiledFilterAggregate:
         ranges: dict[str, tuple[Optional[int], Optional[int]]] = {
             c: (None, None) for c in self.value_plans
         }
-        float_bound = 0
+        float_bounds: dict[str, int] = {}
+        float_nonintegral: set = set()
+        for plan in self.value_plans.values():
+            plan.fexact = None  # re-derived per execute (part sets change)
+        total_rows = 0
         for p in parts:
+            total_rows += p.num_rows()
             for gcol in self._gplan:
                 g = p.batch.column(gcol.name)
                 if g is None:
@@ -428,9 +440,11 @@ class CompiledFilterAggregate:
                 elif c.kind == "float64":
                     plan.is_float = True
                     if not p.float_integral(plan.column):
-                        raise NotCompilable("non-integral float values")
+                        float_nonintegral.add(plan.column)
                 else:
                     raise NotCompilable("compiled aggs are int/float columns")
+                if plan.is_float and plan.column in float_nonintegral:
+                    continue  # ranges irrelevant on the fexact path
                 r = p.raw_range(plan.column)
                 if r is not None:
                     # Raw buffer bounds: null slots participate in sums
@@ -441,7 +455,28 @@ class CompiledFilterAggregate:
                     vmax = r[1] if vmax is None else max(vmax, r[1])
                     ranges[plan.column] = (vmin, vmax)
                     if plan.is_float:
-                        float_bound += p.num_rows() * max(abs(r[0]), abs(r[1]))
+                        float_bounds[plan.column] = float_bounds.get(
+                            plan.column, 0
+                        ) + p.num_rows() * max(abs(r[0]), abs(r[1]))
+        # Non-integral float64 columns: sums ride the exact-decomposition
+        # path (floatsum.py); min/max ordering stays generic for them.
+        for plan in self.value_plans.values():
+            if plan.column not in float_nonintegral:
+                continue
+            if plan.need_minmax:
+                raise NotCompilable("non-integral float min/max")
+            from .floatsum import make_plan as _fs_make_plan
+
+            fplan = _fs_make_plan(
+                [p.float_sum_meta(plan.column) for p in parts], total_rows
+            )
+            if fplan is None:
+                raise NotCompilable(
+                    "float values outside the exact-sum gate"
+                )
+            plan.fexact = fplan
+            top_span = max(fplan.top_max - fplan.top_min, 1)
+            plan.fexact_top_digits = _digits_for(top_span)
             for leaf in self.filters:
                 f = p.batch.column(leaf.column)
                 if f is None:
@@ -454,10 +489,13 @@ class CompiledFilterAggregate:
                         raise NotCompilable("filter column kind mismatch")
                 elif f.kind != KIND_DICT:
                     raise NotCompilable("filter column kind mismatch")
-        if float_bound >= _EXACT_F64:
-            # Past this bound a float64 sum can round while the int64 sum
-            # stays exact — the paths could disagree; use the generic engine.
-            raise NotCompilable("float sum magnitude bound exceeds 2^53")
+        for col, bound in float_bounds.items():
+            if col in float_nonintegral:
+                continue  # served by the exact-decomposition path
+            if bound >= _EXACT_F64:
+                # Past this bound a float64 sum can round while the int64
+                # sum stays exact — the paths could disagree; generic.
+                raise NotCompilable("float sum magnitude bound exceeds 2^53")
         return ranges
 
     def _check_parts(self, parts) -> None:
@@ -472,6 +510,8 @@ class CompiledFilterAggregate:
         bits."""
         ranges = self._check_parts_common(parts)
         for plan in self.value_plans.values():
+            if plan.fexact is not None:
+                continue  # exact-decomposition planes plan themselves
             vmin, vmax = ranges[plan.column]
             plan.bias = 0
             plan.wide = False
@@ -945,6 +985,8 @@ class CompiledFilterAggregate:
                 arrs.append(pad2d(c.data.astype(jnp.int32)))
             elif kind.startswith("valid"):
                 arrs.append(pad2d(c.validity.astype(jnp.int32)))
+            elif kind == "f64":
+                arrs.append(pad2d(c.data.astype(jnp.float64)))
             else:  # int64 planes
                 arrs.append(pad2d(c.data.astype(jnp.int64)))
         out = jnp.concatenate(arrs, axis=0)
@@ -990,6 +1032,37 @@ class CompiledFilterAggregate:
 
             out = self._sp_plane(sp, "int64_m", column).astype(jnp.int32)
             sp["planes"][k] = out
+        return out
+
+    def _sp_fplanes(self, sp, column: str, fplan):
+        """Cached float-sum digit planes over the superpart: decompose_np
+        runs ON HOST per part (TPU f64 multiplies round — f64->i64 bitcast
+        is unimplemented in the x64 rewriter, so device-side extraction is
+        impossible), planes upload once per (part set, scale). Digit planes
+        are in [0, 2^28); the top plane is biased by -top_min so the Pallas
+        digit kernel sees non-negative values."""
+        import jax.numpy as jnp
+
+        from .floatsum import decompose_np
+
+        key = ("fpl", column, fplan.scale, fplan.top_min)
+        out = sp["planes"].get(key)
+        if out is None:
+            per_plane = [[] for _ in range(4)]
+            for p in sp["parts"]:
+                dev = p.device()
+                pad2d = self._pad2d(dev)
+                c = p.batch.column(column)
+                if c is None:
+                    raise NotCompilable(f"part lacks {column}")
+                planes = decompose_np(c.values, fplan)
+                planes[3] = planes[3] - fplan.top_min
+                for pi in range(4):
+                    full = np.zeros(dev.n_pad, dtype=np.int32)
+                    full[: p.batch.num_rows] = planes[pi].astype(np.int32)
+                    per_plane[pi].append(pad2d(jnp.asarray(full)))
+            out = [jnp.concatenate(arrs, axis=0) for arrs in per_plane]
+            sp["planes"][key] = out
         return out
 
     def _sp_int_range(self, sp, column: str):
@@ -1077,7 +1150,14 @@ class CompiledFilterAggregate:
                     leafs.append(("dict", static))
             cl.append(tuple(leafs))
         vp = tuple(
-            (p.need_sum, p.need_minmax, p.wide, p.num_digits, p.hi_digits)
+            (
+                p.need_sum,
+                p.need_minmax,
+                p.wide,
+                p.num_digits,
+                p.hi_digits,
+                p.fexact_top_digits if p.fexact is not None else None,
+            )
             for p in plans
         )
         return (g, tuple(cl), vp, self.on_tpu, num_codes)
@@ -1126,7 +1206,12 @@ class CompiledFilterAggregate:
                         self._leaf_lut_dev(i),
                     ]
         for plan in plans:
-            if plan.wide:
+            if plan.fexact is not None:
+                # Four host-decomposed digit planes (_sp_fplanes): TPU f64
+                # arithmetic rounds, so the decomposition cannot run on
+                # device; the cached planes upload once per part set.
+                args.extend(self._sp_fplanes(sp, plan.column, plan.fexact))
+            elif plan.wide:
                 args.append(self._sp_plane(sp, "int64", plan.column))
                 args.append(_dev_scalar(plan.bias, jnp.int64))
             else:
@@ -1457,6 +1542,10 @@ class CompiledFilterAggregate:
             except NotCompilable:
                 sp = None
         if sp is None:
+            if any(p.fexact is not None for p in plans):
+                # The per-part eager fallback has no float-decomposition
+                # planes; the dense/mesh tier (int64-native) serves it.
+                raise NotCompilable("exact float sums need the superpart path")
             for p in parts:
                 codes, sel = self._codes_sel(p, self._gplan)
                 planes_by_col = {
@@ -1508,6 +1597,20 @@ class CompiledFilterAggregate:
         maxs_np: dict[str, np.ndarray] = {}
         for plan in plans:
             if plan.need_sum:
+                if plan.fexact is not None:
+                    from .floatsum import recombine
+
+                    pls = []
+                    for _pi in range(4):
+                        pls.append(blob[off : off + num_codes])
+                        off += num_codes
+                    sums_np[plan.column] = recombine(
+                        pls,
+                        plan.fexact,
+                        top_bias=plan.fexact.top_min,
+                        counts=counts_np,
+                    )
+                    continue
                 s = blob[off : off + num_codes]; off += num_codes
                 if plan.wide:
                     hi = blob[off : off + num_codes]; off += num_codes
@@ -1603,10 +1706,10 @@ _FUSED_CACHE: dict = {}
 _SCALAR_CACHE: dict = {}
 
 
-def _dev_scalar(v: int, dtype):
+def _dev_scalar(v, dtype):
     import jax.numpy as jnp
 
-    key = (int(v), jnp.dtype(dtype).name)
+    key = (v, jnp.dtype(dtype).name)
     s = _SCALAR_CACHE.get(key)
     if s is None:
         if len(_SCALAR_CACHE) > 8192:
@@ -1693,19 +1796,34 @@ def _build_fused_program(structure):
                 cmask = m if cmask is None else jnp.maximum(cmask, m)
             sel = sel * cmask
 
+        # per value column: list of (plane, num_digits) kernel passes
         value_planes = []
-        for need_sum, need_mm, wide, _nd, _hd in vps:
-            if wide:
+        _fd = _digits_for(_LO_MASK)  # 28-bit digit planes
+        for need_sum, need_mm, wide, nd, hd, ftd in vps:
+            if ftd is not None:
+                # Exact float64 sums (floatsum.py): 3 base-2^28 digit
+                # planes + the top plane (biased non-negative), decomposed
+                # host-side and cached (_sp_fplanes).
+                value_planes.append(
+                    [
+                        (xs[i], _fd),
+                        (xs[i + 1], _fd),
+                        (xs[i + 2], _fd),
+                        (xs[i + 3], ftd),
+                    ]
+                )
+                i += 4
+            elif wide:
                 vdata = xs[i] - xs[i + 1]  # bias shift
                 i += 2
                 lo = jnp.bitwise_and(vdata, jnp.int64(_LO_MASK)).astype(
                     jnp.int32
                 )
                 hi = (vdata >> _LO_BITS).astype(jnp.int32)
-                value_planes.append([lo, hi])
+                value_planes.append([(lo, nd), (hi, hd)])
             else:
                 # Pre-shifted int32 plane (_sp_value_i32).
-                value_planes.append([xs[i]])
+                value_planes.append([(xs[i], nd)])
                 i += 1
 
         flat_codes = codes.reshape(-1)
@@ -1713,10 +1831,10 @@ def _build_fused_program(structure):
         counts = first = None
         sums: dict = {}
         passes = []
-        for vi, (need_sum, _nm, _w, nd, hd) in enumerate(vps):
+        for vi, (need_sum, _nm, _w, _nd, _hd, _ftd) in enumerate(vps):
             if need_sum:
-                for pi, vals in enumerate(value_planes[vi]):
-                    passes.append((vi, vals, hd if pi else nd))
+                for vals, digits in value_planes[vi]:
+                    passes.append((vi, vals, digits))
         if not passes:
             passes.append((None, jnp.zeros_like(codes), 1))
         for idx, (vi, vals, digits) in enumerate(passes):
@@ -1746,12 +1864,12 @@ def _build_fused_program(structure):
             )
 
         blob = [counts.astype(jnp.int64)]
-        for vi, (need_sum, need_mm, wide, _nd, _hd) in enumerate(vps):
+        for vi, (need_sum, need_mm, wide, _nd, _hd, _ftd) in enumerate(vps):
             if need_sum:
                 blob.extend(s.astype(jnp.int64) for s in sums[vi])
             if not need_mm:
                 continue
-            planes = value_planes[vi]
+            planes = [v for v, _d in value_planes[vi]]
             if not wide:
                 (vals,) = planes
                 mn, mx = mm(vals, sel)

@@ -96,6 +96,15 @@ class DeviceBatch:
             jnp.asarray(valid),
         )
 
+    def derived(self, key: str, compute) -> DeviceColumn:
+        """Cached upload of a column DERIVED from this batch's host data
+        (e.g. float-sum digit planes, floatsum.py): ``compute()`` returns a
+        host Column; the upload happens once per (batch, key)."""
+        dc = self._cols.get(key)
+        if dc is None:
+            dc = self._cols[key] = self._upload(compute())
+        return dc
+
     def row_valid_mask(self) -> jax.Array:
         """Mask selecting real (non-padding) rows."""
         return jnp.arange(self.n_pad) < self.n_rows
@@ -158,4 +167,28 @@ class ShardedDeviceBatch:
         SHARDED_UPLOAD_STATS["columns"] += 1
         SHARDED_UPLOAD_STATS["bytes"] += vals.nbytes + valid.nbytes
         self._cols[name] = dc
+        return dc
+
+    def derived(self, key: str, compute) -> DeviceColumn:
+        """Cached sharded upload of a derived column (see
+        DeviceBatch.derived); rides the same per-(mesh, axis) part cache,
+        so a part set change uploads only new parts' planes."""
+        dc = self._cols.get(key)
+        if dc is not None:
+            return dc
+        hc = compute()
+        dtype = _KIND_JNP_DTYPE[hc.kind]
+        vals = np.zeros(self.n_pad, dtype=np.asarray(hc.values).dtype)
+        vals[: self.n_rows] = hc.values
+        valid = np.zeros(self.n_pad, dtype=np.bool_)
+        valid[: self.n_rows] = hc.validity
+        dc = DeviceColumn(
+            hc.name,
+            hc.kind,
+            jax.device_put(np.asarray(vals, dtype=dtype), self.sharding),
+            jax.device_put(valid, self.sharding),
+        )
+        SHARDED_UPLOAD_STATS["columns"] += 1
+        SHARDED_UPLOAD_STATS["bytes"] += vals.nbytes + valid.nbytes
+        self._cols[key] = dc
         return dc

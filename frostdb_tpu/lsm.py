@@ -83,6 +83,19 @@ class Part:
         self._raw_ranges[name] = r
         return r
 
+    def float_sum_meta(self, name: str):
+        """floatsum.column_meta over the column's raw slots, cached (parts
+        are immutable) — the compiled/mesh exact-float-sum gate."""
+        key = ("float_sum_meta", name)
+        if key in self._raw_ranges:
+            return self._raw_ranges[key]
+        from .floatsum import column_meta
+
+        c = self.batch.column(name)
+        meta = column_meta(c.values if c is not None else np.zeros(0))
+        self._raw_ranges[key] = meta
+        return meta
+
     def all_valid(self, name: str) -> bool:
         """Whether every slot of the column is valid — cached (parts are
         immutable): per-query serving must not rescan a 2M-row validity

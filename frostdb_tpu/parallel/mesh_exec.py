@@ -172,9 +172,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             for lay in self._clause_layout(part)
         )
         ops = tuple(
-            (spec.func, self.value_plans[spec.column].is_float)
+            (
+                spec.func,
+                self.value_plans[spec.column].is_float,
+                self.value_plans[spec.column].fexact is not None,
+            )
             if spec.func != E.AGG_COUNT
-            else (E.AGG_COUNT, False)
+            else (E.AGG_COUNT, False, False)
             for spec in self.aggs
         )
         gshape = tuple(
@@ -285,8 +289,18 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             c32 = gcodes.astype(jnp.int32)
             vlist = []
             vops = []
-            for func, _is_float in ops:
+            for func, _is_float, fexact in ops:
                 if func == E.AGG_COUNT:
+                    continue
+                if fexact:
+                    # Exact float64 sums: 3 base-2^28 digit planes + the
+                    # SIGNED top plane, decomposed host-side
+                    # (floatsum.decompose_np) and uploaded via the derived
+                    # column cache; recombined host-side with ONE rounding.
+                    for _p in range(4):
+                        vlist.append(xs[i].astype(jnp.int64))
+                        vops.append(K.AGG_SUM)
+                        i += 1
                     continue
                 v, _vvalid = xs[i], xs[i + 1]
                 i += 2
@@ -317,9 +331,14 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             first = pmin(first_l, axis)
             outs = [counts, first]
             vi = 0
-            for func, _is_float in ops:
+            for func, _is_float, fexact in ops:
                 if func == E.AGG_COUNT:
                     outs.append(counts)
+                    continue
+                if fexact:
+                    for _p in range(4):
+                        outs.append(psum(partials[vi], axis))
+                        vi += 1
                     continue
                 partial = partials[vi]
                 vi += 1
@@ -354,10 +373,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                         in_specs += [P(axis)]
                     else:
                         in_specs += [P(axis), P(axis), P()]
-            for func, _is_float in ops:
+            for func, _is_float, fexact in ops:
                 if func != E.AGG_COUNT:
-                    in_specs += [P(axis), P(axis)]
-            n_out = 2 + len(ops)
+                    if fexact:
+                        in_specs += [P(axis)] * 4
+                    else:
+                        in_specs += [P(axis), P(axis)]
+            n_out = 2 + sum(4 if f else 1 for _fn, _if, f in ops)
             prog = jax.jit(
                 jax.shard_map(
                     step,
@@ -409,7 +431,36 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             v = sp.column(spec.column)
             if v is None:
                 raise NotCompilable(f"part lacks {spec.column}")
-            args += [v.data, v.validity]
+            plan = self.value_plans[spec.column]
+            if plan.fexact is not None:
+                # Four host-decomposed digit planes (floatsum.decompose_np;
+                # TPU f64 arithmetic rounds, so on-device decomposition is
+                # impossible), uploaded once per part via the derived-column
+                # cache (top plane stays SIGNED — int64-native sums).
+                from ..columnbatch import Column as _HC
+                from ..floatsum import decompose_np
+
+                col = spec.column
+                scale = plan.fexact.scale
+
+                def mk(pi, col=col, scale=scale, part=part, plan=plan):
+                    def compute():
+                        c = part.batch.column(col)
+                        planes = decompose_np(c.values, plan.fexact)
+                        return _HC(
+                            f"{col}#fx{pi}@{scale}",
+                            "int64",
+                            planes[pi],
+                            np.ones(len(planes[pi]), dtype=np.bool_),
+                        )
+
+                    return compute
+
+                for pi in range(4):
+                    dc = sp.derived(f"{col}#fx{pi}@{scale}", mk(pi))
+                    args.append(dc.data)
+            else:
+                args += [v.data, v.validity]
         return args
 
     # ------------------------------------------------------------------
@@ -467,9 +518,24 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     counts_p > 0, first_p + jnp.int64(offset), jnp.int64(_BIG)
                 ),
             )
-            for spec, out_p in zip(self.aggs, outs[2:]):
+            oi = 2
+            for spec in self.aggs:
                 name = spec.result_name
                 prev = acc[name]
+                if (
+                    spec.func != E.AGG_COUNT
+                    and self.value_plans[spec.column].fexact is not None
+                ):
+                    planes = list(outs[oi : oi + 4])
+                    oi += 4
+                    acc[name] = (
+                        planes
+                        if prev is None
+                        else [a + b for a, b in zip(prev, planes)]
+                    )
+                    continue
+                out_p = outs[oi]
+                oi += 1
                 if spec.func in (E.AGG_SUM, E.AGG_COUNT):
                     acc[name] = out_p if prev is None else prev + out_p
                 elif spec.func == E.AGG_MIN:
@@ -484,22 +550,34 @@ class MeshFilterAggregate(CompiledFilterAggregate):
 
         # ONE device->host fetch for the whole query (each fetch is a full
         # ~25 ms RTT sync through the axon tunnel).
-        blob = np.asarray(
-            jnp.concatenate(
-                [counts_total, global_first]
-                + [acc[n] for n in result_names]
-            )
-        )
+        blob_entries = [counts_total, global_first]
+        for n in result_names:
+            a = acc[n]
+            blob_entries.extend(a if isinstance(a, list) else [a])
+        blob = np.asarray(jnp.concatenate(blob_entries))
         counts_np = blob[:num_codes]
         first_np = blob[num_codes : 2 * num_codes]
         by_name: dict[str, np.ndarray] = {}
+        off = 2 * num_codes
         for j, name in enumerate(result_names):
-            vals = blob[(2 + j) * num_codes : (3 + j) * num_codes]
             spec = self.aggs[j]
-            if (
-                spec.func != E.AGG_COUNT
-                and self.value_plans[spec.column].is_float
-            ):
+            plan = (
+                self.value_plans.get(spec.column)
+                if spec.func != E.AGG_COUNT
+                else None
+            )
+            if plan is not None and plan.fexact is not None:
+                from ..floatsum import recombine
+
+                pls = []
+                for _pi in range(4):
+                    pls.append(blob[off : off + num_codes])
+                    off += num_codes
+                by_name[name] = recombine(pls, plan.fexact)
+                continue
+            vals = blob[off : off + num_codes]
+            off += num_codes
+            if plan is not None and plan.is_float:
                 vals = vals.astype(np.float64)
             by_name[name] = vals
 

@@ -513,11 +513,49 @@ class HashAggregate(PhysicalOperator):
                 continue
             seen_aggs.add(result_name)
             src = batch.column(result_name) if self.final_stage else None
+            # Whether the input already IS a partial result decides the op
+            # per spec: a final stage over raw rows (single-stage float-sum
+            # plans, concurrency=1) must COUNT rows, not sum partial counts.
+            from_partial = src is not None
             if src is None:
                 src = _eval_value(batch, inner)
             if src is None:
                 src = Column.all_null(result_name, KIND_INT64, n)
-            agg_specs.append((func, src, result_name))
+            agg_specs.append((func, src, result_name, from_partial))
+
+        # Exact float64 sums (floatsum.py): a gated float sum input expands
+        # into four int64 digit-plane columns summed exactly by the kernel
+        # and recombined host-side with ONE rounding. spec_map records each
+        # original spec's kernel slots. Outside the gate (non-finite /
+        # subnormal / overwide) the IEEE float reduction applies unchanged.
+        from ..floatsum import column_meta, decompose_np, make_plan, recombine
+
+        kernel_specs = []  # (func, src col) rows actually fed to the kernel
+        spec_map = []  # per agg_spec: ("plain", i) | ("planes", [i*4], plan)
+        for func, src, result_name, from_partial in agg_specs:
+            if func == E.AGG_SUM and src.kind == "float64":
+                fplan = make_plan([column_meta(src.values)], n)
+                if fplan is not None:
+                    planes = decompose_np(src.values, fplan)
+                    idxs = []
+                    for pi, pv in enumerate(planes):
+                        idxs.append(len(kernel_specs))
+                        kernel_specs.append(
+                            (
+                                E.AGG_SUM,
+                                Column(
+                                    f"{result_name}#p{pi}",
+                                    KIND_INT64,
+                                    pv,
+                                    src.validity,
+                                ),
+                                False,
+                            )
+                        )
+                    spec_map.append(("planes", idxs, fplan))
+                    continue
+            spec_map.append(("plain", len(kernel_specs)))
+            kernel_specs.append((func, src, from_partial))
 
         from ..device import DeviceBatch
 
@@ -532,14 +570,14 @@ class HashAggregate(PhysicalOperator):
         agg_vals = []
         agg_valid = []
         ops = []
-        for func, src, _rn in agg_specs:
+        for func, src, from_partial in kernel_specs:
             if batch.column(src.name) is src:
                 dc = dev.column(src.name)
             else:
                 dc = dev._upload(src)
             agg_vals.append(dc.data)
             agg_valid.append(dc.validity)
-            table = _FINAL_AGG_FUNC if self.final_stage else _PARTIAL_AGG_FUNC
+            table = _FINAL_AGG_FUNC if from_partial else _PARTIAL_AGG_FUNC
             ops.append(table[func])
 
         ng, _first, gk, gkv, av, avv = K.group_aggregate(
@@ -582,7 +620,22 @@ class HashAggregate(PhysicalOperator):
                     c.dictionary,
                 )
             )
-        for (func, src, result_name), v, va in zip(agg_specs, av, avv):
+        for (func, src, result_name, _fp), m in zip(agg_specs, spec_map):
+            if m[0] == "planes":
+                _tag, idxs, fplan = m
+                plane_sums = [np.asarray(av[i])[:ng] for i in idxs]
+                vals = recombine(plane_sums, fplan)
+                out_cols.append(
+                    Column(
+                        result_name,
+                        "float64",
+                        vals,
+                        np.ones(ng, dtype=np.bool_),
+                    )
+                )
+                continue
+            i = m[1]
+            v, va = av[i], avv[i]
             kind = src.kind
             vals = np.asarray(v)[:ng]
             if func == E.AGG_COUNT:
@@ -657,11 +710,12 @@ class OrderedAggregate(HashAggregate):
                 continue
             seen_aggs.add(result_name)
             src = batch.column(result_name) if self.final_stage else None
+            from_partial = src is not None
             if src is None:
                 src = _eval_value(batch, inner)
             if src is None:
                 src = Column.all_null(result_name, KIND_INT64, n)
-            agg_specs.append((func, src, result_name))
+            agg_specs.append((func, src, result_name, from_partial))
 
         from ..device import DeviceBatch
         import jax.numpy as jnp
@@ -691,12 +745,54 @@ class OrderedAggregate(HashAggregate):
                     c.dictionary,
                 )
             )
-        for func, src, result_name in agg_specs:
+        for func, src, result_name, from_partial in agg_specs:
+            # Exact float64 sums (floatsum.py) — same gate/planes as the
+            # unordered aggregate so both emit the identical value.
+            if func == E.AGG_SUM and src.kind == "float64":
+                from ..floatsum import (
+                    column_meta,
+                    decompose_np,
+                    make_plan,
+                    recombine,
+                )
+
+                fplan = make_plan([column_meta(src.values)], n)
+                if fplan is not None:
+                    planes = decompose_np(src.values, fplan)
+                    plane_sums = []
+                    for pi, pv in enumerate(planes):
+                        dc = dev._upload(
+                            Column(
+                                f"{result_name}#p{pi}",
+                                KIND_INT64,
+                                pv,
+                                src.validity,
+                            )
+                        )
+                        o, _vo = K.segment_agg(
+                            dc.data,
+                            dc.validity,
+                            identity,
+                            sel,
+                            seg,
+                            identity,
+                            K.AGG_SUM,
+                        )
+                        plane_sums.append(np.asarray(o)[:ng])
+                    out_cols.append(
+                        Column(
+                            result_name,
+                            "float64",
+                            recombine(plane_sums, fplan),
+                            np.ones(ng, dtype=np.bool_),
+                        )
+                    )
+                    continue
             if batch.column(src.name) is src:
                 dc = dev.column(src.name)
             else:
                 dc = dev._upload(src)
-            table = _FINAL_AGG_FUNC if self.final_stage else _PARTIAL_AGG_FUNC
+            table = _FINAL_AGG_FUNC if from_partial else _PARTIAL_AGG_FUNC
             o, vo = K.segment_agg(
                 dc.data, dc.validity, identity, sel, seg, identity, table[func]
             )
@@ -1060,6 +1156,49 @@ class ExecOptions:
         self.metrics = metrics
 
 
+def _expr_is_floatish(e, schema) -> bool:
+    """Minimal static type inference for sum inputs (the reference's
+    DataTypeForExpr role, logicalplan.go): could this expr evaluate to
+    float64? Unknown/dynamic columns surface as int64 all-null in the
+    aggregate, so they count as int."""
+    if type(e) is E.Column:
+        cdef = schema.column_by_name(e.column_name) if schema else None
+        return cdef is not None and cdef.layout.type == "double"
+    if isinstance(e, E.Literal):
+        return isinstance(e.value, float)
+    if isinstance(e, E.AliasExpr):
+        return _expr_is_floatish(e.expr, schema)
+    if isinstance(e, E.BinaryExpr):
+        if e.op in E.COMPARE_OPS or e.op in (E.OP_AND, E.OP_OR):
+            return False
+        return _expr_is_floatish(e.left, schema) or _expr_is_floatish(
+            e.right, schema
+        )
+    if isinstance(e, E.ConvertExpr):
+        return e.to_type == "float64"
+    if isinstance(e, E.IfExpr):
+        return _expr_is_floatish(e.then, schema) or _expr_is_floatish(
+            e.els, schema
+        )
+    return True  # unknown expr kinds: assume float (exactness-safe)
+
+
+def _agg_needs_single_stage(node) -> bool:
+    """True when the aggregation contains a sum whose input may be float64:
+    exact float sums (floatsum.py) cannot round per-lane partials, so the
+    whole stream aggregates in one final stage."""
+    schema = node.input_schema()
+    for a in node.aggregation.agg_exprs:
+        inner = a.expr if isinstance(a, E.AliasExpr) else a
+        if (
+            isinstance(inner, E.AggregationFunction)
+            and inner.func == E.AGG_SUM
+        ):
+            if _expr_is_floatish(inner.expr, schema):
+                return True
+    return False
+
+
 def _should_plan_ordered(opts: ExecOptions, ordering_ok: bool, node) -> bool:
     """reference: physicalplan.go:518 shouldPlanOrderedAggregate."""
     if not opts.ordered_aggregations or not ordering_ok:
@@ -1149,6 +1288,12 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 prev[i] = f
         elif node.aggregation is not None:
             ordered = _should_plan_ordered(opts, ordering_ok, node)
+            # Float64 sums are EXACT (correctly-rounded true sums,
+            # floatsum.py): per-lane float partials would round once per
+            # lane and break that, so they aggregate single-stage — lanes
+            # feed the barrier directly and ONE aggregate sees the whole
+            # stream.
+            single_stage = _agg_needs_single_stage(node)
             if len(prev) > 1:
                 if ordered and node.aggregation.group_exprs:
                     sync = OrderedSynchronizer(
@@ -1158,18 +1303,9 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                     sync = Synchronizer(len(prev))
             else:
                 sync = None
-            for i in range(len(prev)):
-                a = make_aggregate(
-                    node.aggregation,
-                    final_stage=sync is None,
-                    ordered=ordered,
-                    allocator=opts.allocator,
-                )
-                prev[i].set_next(a)
-                prev[i] = a
-                if sync is not None:
-                    a.set_next(sync.lane(i))
-            if sync is not None:
+            if sync is not None and single_stage:
+                for i in range(len(prev)):
+                    prev[i].set_next(sync.lane(i))
                 a = make_aggregate(
                     node.aggregation,
                     final_stage=True,
@@ -1178,6 +1314,27 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 )
                 sync.set_next(a)
                 prev = [a]
+            else:
+                for i in range(len(prev)):
+                    a = make_aggregate(
+                        node.aggregation,
+                        final_stage=sync is None,
+                        ordered=ordered,
+                        allocator=opts.allocator,
+                    )
+                    prev[i].set_next(a)
+                    prev[i] = a
+                    if sync is not None:
+                        a.set_next(sync.lane(i))
+                if sync is not None:
+                    a = make_aggregate(
+                        node.aggregation,
+                        final_stage=True,
+                        ordered=ordered,
+                        allocator=opts.allocator,
+                    )
+                    sync.set_next(a)
+                    prev = [a]
             ordering_ok = bool(ordered)
         elif node.join is not None:
             ordering_ok = False

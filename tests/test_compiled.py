@@ -743,12 +743,21 @@ def test_compiled_integral_float_sums():
     assert _batch_tuples(fast) == _batch_tuples(slow)
 
 
-def test_compiled_fractional_float_falls_back():
-    db, table = _setup_float([1.5, 2.0, 3.0])
-    q = compile_filter_aggregate(table, "example_type", [("sum", "floatvalue")])
-    with pytest.raises(NotCompilable):
-        q.execute()
+def test_compiled_fractional_float_sums_stay_compiled():
+    """Round 4: non-integral float64 sums ride the exact-decomposition
+    fast path (floatsum.py) instead of falling back."""
+    db, table = _setup_float([1.5, 2.0, 3.25])
     aggs = [E.Sum(E.Col("floatvalue"))]
-    fast = _run_engine(db, True, None, aggs=aggs)
+    from frostdb_tpu.tracing import Tracer
+
+    tracer = Tracer()
+    fast = _run_engine(db, True, None, aggs=aggs, tracer=tracer)
     slow = _run_engine(db, False, None, aggs=aggs)
     assert _batch_tuples(fast) == _batch_tuples(slow)
+    assert tracer.roots[0].attributes["path"] == "compiled"
+    # fractional min/max still declines (ordering needs the int planes)
+    q = compile_filter_aggregate(
+        table, "example_type", [("min", "floatvalue")]
+    )
+    with pytest.raises(NotCompilable):
+        q.execute()
