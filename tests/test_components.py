@@ -340,3 +340,85 @@ def test_reservoir_sampler_byte_budget():
     assert s_big.materializations == 0
     assert pinned_small <= 4096
     assert pinned_big > 4096  # refs pin whole input batches without a budget
+
+
+def test_filter_plan_validation():
+    """VERDICT r3 item 10 (reference: validate.go:322-455): ill-typed
+    filters raise PlanValidationError at plan time, with AND/OR
+    recursion, instead of a runtime EvalError."""
+    import pytest
+
+    from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_INT64
+    from frostdb_tpu.db import ColumnStore
+    from frostdb_tpu.query import expr as E
+    from frostdb_tpu.query.engine import LocalEngine
+    from frostdb_tpu.query.validate import PlanValidationError
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.table import TableConfig
+
+    store = ColumnStore()
+    db = store.db("v")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    import numpy as np
+
+    n = 3
+    d = table.dictionary("example_type")
+    codes, _ = d.encode(["a"] * n)
+    from frostdb_tpu.columnbatch import KIND_DICT
+
+    table.insert_record(
+        ColumnBatch(
+            [
+                Column("example_type", KIND_DICT, codes, np.ones(n, bool), d),
+                Column(
+                    "timestamp",
+                    KIND_INT64,
+                    np.arange(n, dtype=np.int64),
+                    np.ones(n, bool),
+                ),
+                Column(
+                    "value",
+                    KIND_INT64,
+                    np.arange(n, dtype=np.int64),
+                    np.ones(n, bool),
+                ),
+            ],
+            n,
+        )
+    )
+    engine = LocalEngine(db.table_provider())
+
+    def run(filt):
+        out = []
+        engine.scan_table("t").filter(filt).aggregate(
+            [E.Sum(E.Col("value"))], [E.Col("example_type")]
+        ).execute(out.append)
+        return out
+
+    # numeric column vs string literal
+    with pytest.raises(PlanValidationError):
+        run(E.Col("timestamp").gt_eq("abc"))
+    # string column vs numeric literal
+    with pytest.raises(PlanValidationError):
+        run(E.Col("example_type").eq(42))
+    # the same inside an AND subtree (recursion, validate.go:424)
+    with pytest.raises(PlanValidationError) as ei:
+        run(
+            E.And(
+                E.Col("timestamp").gt_eq(1),
+                E.Col("example_type").eq(3.5),
+            )
+        )
+    assert "right" in str(ei.value)
+    # and inside OR
+    with pytest.raises(PlanValidationError):
+        run(
+            E.Or(
+                E.Col("example_type").eq("a"),
+                E.Col("timestamp").lt("zzz"),
+            )
+        )
+    # well-typed filters (incl. null literal and dynamic columns) pass
+    assert run(E.Col("timestamp").gt_eq(1))
+    assert run(E.Col("labels.anything").eq("x")) is not None
+    assert run(E.Col("example_type").not_eq(None))
