@@ -603,7 +603,7 @@ class CompiledFilterAggregate:
             gc, None, kind="int", window=window, base=int(lo_w), k=k
         )
 
-    def _group_remap(self, parts) -> tuple[list[_GroupCol], int]:
+    def _group_remap(self, parts, max_codes=None) -> tuple[list[_GroupCol], int]:
         """Per-group-column code plans + the combined dense code count.
 
         A single dict group column uses family codes directly while the
@@ -644,9 +644,10 @@ class CompiledFilterAggregate:
         num_codes = 1
         for c in cols:
             num_codes *= c.k
-        if num_codes > self.MAX_CODES:
+        limit = self.MAX_CODES if max_codes is None else max_codes
+        if num_codes > limit:
             raise NotCompilable(
-                f"group code space {num_codes} > {self.MAX_CODES}"
+                f"group code space {num_codes} > {limit}"
             )
         return cols, num_codes
 

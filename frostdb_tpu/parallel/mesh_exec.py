@@ -63,6 +63,98 @@ _SORTED_THRESHOLD = 4096
 # specialization is jax.jit's own cache; this keys the *structure*.
 _PROGRAM_CACHE: dict = {}
 
+# Shuffle-tier ceiling: K up to 2^27 combined codes aggregate via the
+# pair-exchange path with O(K/shards) per-shard tables; beyond that the
+# generic engine serves (VERDICT r3 item 6).
+SHUFFLE_MAX_CODES = 1 << 27
+
+
+def _unpack_inputs(xs, gshape, clause_sigs, ops, axis, trivial):
+    """Shared SPMD input unpacking for the dense and shuffle shard programs:
+    group-code build (dict remaps / window codes), CNF selection mask,
+    global stream positions, and the per-aggregation value list (incl.
+    exact-float digit planes). Returns (next_arg_index, gcodes, sel, rows,
+    vlist, vops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import kernels as K
+
+    n = xs[0]
+    i = 1
+    gcodes = None
+    gvalid = None
+    for kind, has_remap, k in gshape:
+        if kind == "int":
+            raw, v = xs[i], xs[i + 1]
+            win, base = xs[i + 2], xs[i + 3]
+            i += 4
+            c = jnp.clip(raw // win - base, 0, k - 1).astype(jnp.int32)
+        else:
+            c, v = xs[i], xs[i + 1]
+            i += 2
+            if has_remap:
+                c = jnp.take(xs[i], c, mode="clip")
+                i += 1
+        gcodes = c if gcodes is None else gcodes * jnp.int32(k) + c
+        gvalid = v if gvalid is None else gvalid & v
+    m = gcodes.shape[0]
+    if trivial:
+        rows = jnp.arange(m, dtype=jnp.int64)
+    else:
+        rows = (
+            jax.lax.axis_index(axis).astype(jnp.int64) * m
+            + jnp.arange(m, dtype=jnp.int64)
+        )
+    sel = gvalid & (rows < n)
+    for clause_sig in clause_sigs:
+        if clause_sig == "true":
+            continue
+        if clause_sig == "false":
+            sel = sel & False
+            continue
+        cmask = None
+        for leaf_sig in clause_sig:
+            if leaf_sig[0] == "int":
+                fv, fvalid, lit = xs[i], xs[i + 1], xs[i + 2]
+                i += 3
+                op = leaf_sig[1]
+                cmp = {
+                    "<": fv < lit,
+                    "<=": fv <= lit,
+                    ">": fv > lit,
+                    ">=": fv >= lit,
+                    "==": fv == lit,
+                    "!=": fv != lit,
+                }[op]
+                lm = cmp & fvalid
+            elif leaf_sig[0] == "nulllit":
+                fvalid = xs[i]
+                i += 1
+                lm = fvalid if leaf_sig[1] == E.OP_NOT_EQ else ~fvalid
+            else:
+                fcodes, fvalid, lut = xs[i], xs[i + 1], xs[i + 2]
+                i += 3
+                lm = jnp.take(lut, fcodes, mode="clip") & fvalid
+            cmask = lm if cmask is None else (cmask | lm)
+        sel = sel & cmask
+    vlist = []
+    vops = []
+    for func, _is_float, fexact in ops:
+        if func == E.AGG_COUNT:
+            continue
+        if fexact:
+            for _p in range(4):
+                vlist.append(xs[i].astype(jnp.int64))
+                vops.append(K.AGG_SUM)
+                i += 1
+            continue
+        v, _vvalid = xs[i], xs[i + 1]
+        i += 2
+        vlist.append(v.astype(jnp.int64))
+        vops.append(func)
+    return i, gcodes, sel, rows, vlist, vops
+
 
 class MeshFilterAggregate(CompiledFilterAggregate):
     """One matched query over one table, executed across the mesh.
@@ -210,104 +302,12 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             # xs layout: n, then per group col (dict: codes, valid, [remap]
             # | int: values, valid, window, base), then per present leaf
             # (int: fvals,fvalid,lit | nulllit: fvalid | dict:
-            # fcodes,fvalid,lut), then per non-count agg (vals, vvalid).
-            n = xs[0]
-            i = 1
-            gcodes = None
-            gvalid = None
-            for kind, has_remap, k in gshape:
-                if kind == "int":
-                    # Window code: value // w - base (runtime scalars, so a
-                    # sliding time range never recompiles the program).
-                    raw, v = xs[i], xs[i + 1]
-                    win, base = xs[i + 2], xs[i + 3]
-                    i += 4
-                    c = jnp.clip(raw // win - base, 0, k - 1).astype(
-                        jnp.int32
-                    )
-                else:
-                    c, v = xs[i], xs[i + 1]
-                    i += 2
-                    if has_remap:
-                        # Compact per-column code space (_group_remap): one
-                        # replicated-LUT gather per row.
-                        c = jnp.take(xs[i], c, mode="clip")
-                        i += 1
-                gcodes = c if gcodes is None else gcodes * jnp.int32(k) + c
-                gvalid = v if gvalid is None else gvalid & v
-            m = gcodes.shape[0]
-            if trivial:
-                rows = jnp.arange(m, dtype=jnp.int64)
-            else:
-                rows = (
-                    jax.lax.axis_index(axis).astype(jnp.int64) * m
-                    + jnp.arange(m, dtype=jnp.int64)
-                )
-            sel = gvalid & (rows < n)
-            for clause_sig in clause_sigs:
-                # CNF: AND of OR clauses (filter.go:167-229). "true" =
-                # statically satisfied for this part (missing all-true
-                # leaf); "false" = statically empty.
-                if clause_sig == "true":
-                    continue
-                if clause_sig == "false":
-                    sel = sel & False
-                    continue
-                cmask = None
-                for leaf_sig in clause_sig:
-                    if leaf_sig[0] == "int":
-                        fv, fvalid, lit = xs[i], xs[i + 1], xs[i + 2]
-                        i += 3
-                        # Full-width int64 compare (x64 i64 is exact on
-                        # TPU).
-                        op = leaf_sig[1]
-                        cmp = {
-                            "<": fv < lit,
-                            "<=": fv <= lit,
-                            ">": fv > lit,
-                            ">=": fv >= lit,
-                            "==": fv == lit,
-                            "!=": fv != lit,
-                        }[op]
-                        lm = cmp & fvalid
-                    elif leaf_sig[0] == "nulllit":
-                        # == null selects invalid slots, != null valid ones
-                        # (binaryscalarexpr.go:205).
-                        fvalid = xs[i]
-                        i += 1
-                        lm = (
-                            fvalid
-                            if leaf_sig[1] == E.OP_NOT_EQ
-                            else ~fvalid
-                        )
-                    else:
-                        fcodes, fvalid, lut = xs[i], xs[i + 1], xs[i + 2]
-                        i += 3
-                        lm = jnp.take(lut, fcodes, mode="clip") & fvalid
-                    cmask = lm if cmask is None else (cmask | lm)
-                sel = sel & cmask
+            # fcodes,fvalid,lut), then per non-count agg (vals, vvalid /
+            # fexact: 4 digit planes) — unpacked by _unpack_inputs.
+            _i, gcodes, sel, rows, vlist, vops = _unpack_inputs(
+                xs, gshape, clause_sigs, ops, axis, trivial
+            )
             c32 = gcodes.astype(jnp.int32)
-            vlist = []
-            vops = []
-            for func, _is_float, fexact in ops:
-                if func == E.AGG_COUNT:
-                    continue
-                if fexact:
-                    # Exact float64 sums: 3 base-2^28 digit planes + the
-                    # SIGNED top plane, decomposed host-side
-                    # (floatsum.decompose_np) and uploaded via the derived
-                    # column cache; recombined host-side with ONE rounding.
-                    for _p in range(4):
-                        vlist.append(xs[i].astype(jnp.int64))
-                        vops.append(K.AGG_SUM)
-                        i += 1
-                    continue
-                v, _vvalid = xs[i], xs[i + 1]
-                i += 2
-                # integral floats ride the int path (shared exactness gate)
-                vlist.append(v.astype(jnp.int64))
-                vops.append(func)
-
             if num_codes > _SORTED_THRESHOLD:
                 # Large-K: one sort + prefix sums beats XLA's scatter-based
                 # segment reductions by orders of magnitude on TPU.
@@ -316,7 +316,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 )
                 partials = list(outs_l)
             else:
-                ones = jnp.ones(m, dtype=jnp.int64)
+                ones = jnp.ones(gcodes.shape[0], dtype=jnp.int64)
                 counts_l = K.dense_group_reduce(
                     c32, ones, sel, num_codes, K.AGG_COUNT
                 )
@@ -465,6 +465,371 @@ class MeshFilterAggregate(CompiledFilterAggregate):
 
     # ------------------------------------------------------------------
 
+    def _shuffle_program(self, sig, num_codes: int, k_per: int, cap: int):
+        """One part's shuffle-tier shard program: local SPARSE sort-reduce
+        of selected rows into (code, count, first, partials) pairs (each
+        key appears at most once per sender, so a heavy key cannot overflow
+        a destination), mod-n_shards all_to_all pair exchange, then
+        owner-side scatter into carried [k_per]-sharded dense tables —
+        per-shard memory O(K/shards), never a replicated [K] array."""
+        key = (
+            id(self.mesh),
+            self.axis,
+            sig,
+            num_codes,
+            k_per,
+            cap,
+            self.trivial,
+            "shuffle",
+        )
+        prog = _PROGRAM_CACHE.get(key)
+        if prog is not None:
+            return prog
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops import kernels as K
+
+        clause_sigs, ops, gshape = sig
+        axis = self.axis
+        trivial = self.trivial
+        n_shards = 1 if trivial else self.mesh.shape[axis]
+        n_aggv = sum(
+            (4 if f else 1)
+            for fn, _if, f in ops
+            if fn != E.AGG_COUNT
+        )
+
+        def step(*xs):
+            i, gcodes, sel, rows, vlist, vops = _unpack_inputs(
+                xs, gshape, clause_sigs, ops, axis, trivial
+            )
+            tabs = list(xs[i : i + 2 + n_aggv])
+            over_in = xs[i + 2 + n_aggv]
+            # Global stream position: the tables accumulate ACROSS parts
+            # inside the program, so each part's rows shift by its offset
+            # in the concatenated stream (the dense path adds it outside).
+            offset = xs[i + 3 + n_aggv]
+            rows = rows + offset
+            m = gcodes.shape[0]
+            big = jnp.int64(num_codes)
+
+            # local sparse reduce: sort rows by code (invalid last),
+            # segment per distinct code — pair arrays are [m]-shaped with
+            # the valid prefix holding one entry per local distinct key.
+            keyv = jnp.where(sel, gcodes.astype(jnp.int64), big)
+            order = jnp.argsort(keyv, stable=True)
+            ks = jnp.take(keyv, order)
+            rows_s = jnp.take(rows, order)
+            boundary = (
+                jnp.concatenate(
+                    [jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]]
+                )
+                & (ks < big)
+            )
+            seg = jnp.clip(
+                jnp.cumsum(boundary.astype(jnp.int32)) - 1, 0, m - 1
+            )
+            valid_row = ks < big
+            pcode = jax.ops.segment_min(
+                jnp.where(valid_row, ks, big), seg, num_segments=m
+            )
+            pcount = jax.ops.segment_sum(
+                jnp.where(valid_row, jnp.int64(1), jnp.int64(0)),
+                seg,
+                num_segments=m,
+            )
+            pfirst = jax.ops.segment_min(
+                jnp.where(valid_row, rows_s, _BIG), seg, num_segments=m
+            )
+            ppart = []
+            for v, func in zip(vlist, vops):
+                v_s = jnp.take(v, order)
+                if func == K.AGG_SUM:
+                    ppart.append(
+                        jax.ops.segment_sum(
+                            jnp.where(valid_row, v_s, jnp.int64(0)),
+                            seg,
+                            num_segments=m,
+                        )
+                    )
+                elif func == K.AGG_MIN:
+                    ppart.append(
+                        jax.ops.segment_min(
+                            jnp.where(valid_row, v_s, _BIG),
+                            seg,
+                            num_segments=m,
+                        )
+                    )
+                else:
+                    ppart.append(
+                        jax.ops.segment_max(
+                            jnp.where(valid_row, v_s, -_BIG),
+                            seg,
+                            num_segments=m,
+                        )
+                    )
+            pvalid = pcount > 0
+
+            cols = [pcode, pcount, pfirst] + ppart
+            if trivial:
+                r_cols = cols
+                r_valid = pvalid
+                overflow = jnp.int32(0)
+            else:
+                # pair exchange: dest = code % n_shards (owner shard);
+                # gather-packed fixed-capacity buckets + all_to_all
+                # (shuffle.py's exchange, on pairs instead of rows).
+                dest = jnp.where(
+                    pvalid,
+                    (pcode % n_shards).astype(jnp.int32),
+                    jnp.int32(n_shards),
+                )
+                order2 = jnp.argsort(dest, stable=True)
+                dsorted = jnp.take(dest, order2)
+                counts2 = jax.ops.segment_sum(
+                    jnp.ones_like(dsorted, dtype=jnp.int32),
+                    dsorted,
+                    num_segments=n_shards + 1,
+                )[:n_shards]
+                starts = jnp.concatenate(
+                    [
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.cumsum(counts2)[:-1].astype(jnp.int32),
+                    ]
+                )
+                overflow = jax.lax.pmax(
+                    (counts2 > cap).any().astype(jnp.int32), axis
+                )
+                out_idx = jnp.arange(n_shards * cap, dtype=jnp.int32)
+                b = out_idx // cap
+                pslot = out_idx % cap
+                srci = jnp.clip(starts[b] + pslot, 0, m - 1)
+                in_bucket = pslot < counts2[b]
+                r_cols = []
+                for c in cols:
+                    c_s = jnp.take(c, order2)
+                    packed = jnp.where(
+                        in_bucket, jnp.take(c_s, srci), jnp.zeros_like(c)[
+                            :1
+                        ].repeat(n_shards * cap)
+                    )
+                    r_cols.append(
+                        jax.lax.all_to_all(
+                            packed.reshape(n_shards, cap),
+                            axis,
+                            0,
+                            0,
+                            tiled=False,
+                        ).reshape(-1)
+                    )
+                # packed slots hold valid pairs exactly where in_bucket
+                # (invalid pairs sorted past every destination's range).
+                r_valid = jax.lax.all_to_all(
+                    in_bucket.reshape(n_shards, cap),
+                    axis,
+                    0,
+                    0,
+                    tiled=False,
+                ).reshape(-1)
+
+            # owner scatter into the carried [k_per] tables
+            rcode = r_cols[0]
+            slot = jnp.where(
+                r_valid, (rcode // n_shards).astype(jnp.int32), jnp.int32(k_per)
+            )
+            counts_tab, first_tab = tabs[0], tabs[1]
+            counts_tab = counts_tab.at[slot].add(
+                jnp.where(r_valid, r_cols[1], jnp.int64(0)), mode="drop"
+            )
+            first_tab = first_tab.at[slot].min(
+                jnp.where(r_valid, r_cols[2], _BIG), mode="drop"
+            )
+            out_tabs = [counts_tab, first_tab]
+            for vi, func in enumerate(vops):
+                t = tabs[2 + vi]
+                rv2 = r_cols[3 + vi]
+                if func == K.AGG_SUM:
+                    t = t.at[slot].add(
+                        jnp.where(r_valid, rv2, jnp.int64(0)), mode="drop"
+                    )
+                elif func == K.AGG_MIN:
+                    t = t.at[slot].min(
+                        jnp.where(r_valid, rv2, _BIG), mode="drop"
+                    )
+                else:
+                    t = t.at[slot].max(
+                        jnp.where(r_valid, rv2, -_BIG), mode="drop"
+                    )
+                out_tabs.append(t)
+            over_out = jnp.maximum(over_in, overflow)
+            if not trivial:
+                over_out = jax.lax.pmax(over_out, axis)
+            return tuple(out_tabs) + (over_out,)
+
+        if trivial:
+            prog = jax.jit(step)
+        else:
+            in_specs = [P()]
+            for kind, has_remap, _k in gshape:
+                if kind == "int":
+                    in_specs += [P(axis), P(axis), P(), P()]
+                else:
+                    in_specs += [P(axis), P(axis)]
+                    if has_remap:
+                        in_specs.append(P())
+            for clause_sig in clause_sigs:
+                if isinstance(clause_sig, str):
+                    continue
+                for leaf_sig in clause_sig:
+                    if leaf_sig[0] == "int":
+                        in_specs += [P(axis), P(axis), P()]
+                    elif leaf_sig[0] == "nulllit":
+                        in_specs += [P(axis)]
+                    else:
+                        in_specs += [P(axis), P(axis), P()]
+            for func, _is_float, fexact in ops:
+                if func != E.AGG_COUNT:
+                    if fexact:
+                        in_specs += [P(axis)] * 4
+                    else:
+                        in_specs += [P(axis), P(axis)]
+            in_specs += [P(axis)] * (2 + n_aggv)  # carried tables
+            in_specs += [P(), P()]  # overflow carry, part stream offset
+            out_specs = tuple([P(axis)] * (2 + n_aggv)) + (P(),)
+            prog = jax.jit(
+                jax.shard_map(
+                    step,
+                    mesh=self.mesh,
+                    in_specs=tuple(in_specs),
+                    out_specs=out_specs,
+                )
+            )
+        _PROGRAM_CACHE[key] = prog
+        return prog
+
+    def _execute_shuffle(self, parts, num_codes: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shards = 1 if self.trivial else self.mesh.shape[self.axis]
+        k_per = -(-num_codes // n_shards)
+        k_per = ((k_per + 127) // 128) * 128
+        k_pad = k_per * n_shards
+        n_aggv = sum(
+            (4 if self.value_plans[s.column].fexact is not None else 1)
+            for s in self.aggs
+            if s.func != E.AGG_COUNT
+        )
+        shard_spec = (
+            None
+            if self.trivial
+            else NamedSharding(self.mesh, P(self.axis))
+        )
+
+        def put(arr):
+            a = jnp.asarray(arr)
+            return a if shard_spec is None else jax.device_put(a, shard_spec)
+
+        oversub = 2.0
+        for _attempt in range(4):
+            max_rows = max(
+                (p.batch.num_rows for p in parts), default=1
+            )
+            per_shard = -(-max_rows // n_shards)
+            cap = max(int(np.ceil(per_shard / n_shards * oversub / 128)) * 128, 128)
+            tabs = [
+                put(np.zeros(k_pad, np.int64)),  # counts
+                put(np.full(k_pad, _BIG, np.int64)),  # first
+            ]
+            # per-agg tables with op-appropriate identities
+            agg_ops_flat = []
+            for spec in self.aggs:
+                if spec.func == E.AGG_COUNT:
+                    continue
+                if self.value_plans[spec.column].fexact is not None:
+                    agg_ops_flat += [E.AGG_SUM] * 4
+                else:
+                    agg_ops_flat.append(spec.func)
+            for fn in agg_ops_flat:
+                if fn == E.AGG_MIN:
+                    tabs.append(put(np.full(k_pad, _BIG, np.int64)))
+                elif fn == E.AGG_MAX:
+                    tabs.append(put(np.full(k_pad, -_BIG, np.int64)))
+                else:
+                    tabs.append(put(np.zeros(k_pad, np.int64)))
+            over = jnp.int32(0)
+            offset = 0
+            for p in parts:
+                sp = self._part_data(p)
+                sig = self._part_signature(p)
+                prog = self._shuffle_program(sig, num_codes, k_per, cap)
+                outs = prog(
+                    *self._part_args(p, sp),
+                    *tabs,
+                    over,
+                    jnp.asarray(offset, jnp.int64),
+                )
+                tabs = list(outs[:-1])
+                over = outs[-1]
+                offset += p.batch.num_rows
+            blob = np.asarray(jnp.concatenate([over[None].astype(jnp.int64)] + tabs))
+            if int(blob[0]) == 0:
+                break
+            oversub *= 2.0
+        else:
+            raise NotCompilable("shuffle-tier pair exchange overflow")
+
+        # host assembly: global slot g on shard j = g // k_per holds code
+        # (g % k_per) * n_shards + j
+        g = np.arange(k_pad, dtype=np.int64)
+        codes_of_g = (g % k_per) * n_shards + (g // k_per)
+        in_range = codes_of_g < num_codes
+        body = blob[1:]
+
+        def table(ti, fill):
+            t = body[ti * k_pad : (ti + 1) * k_pad]
+            full = np.full(num_codes, fill, np.int64)
+            full[codes_of_g[in_range]] = t[in_range]
+            return full
+
+        counts_np = table(0, 0)
+        first_np = table(1, _BIG)
+        by_name: dict[str, np.ndarray] = {}
+        ti = 2
+        for spec in self.aggs:
+            name = spec.result_name
+            if spec.func == E.AGG_COUNT:
+                by_name[name] = counts_np
+                continue
+            plan = self.value_plans[spec.column]
+            if plan.fexact is not None:
+                from ..floatsum import recombine
+
+                pls = [table(ti + pi, 0) for pi in range(4)]
+                ti += 4
+                by_name[name] = recombine(pls, plan.fexact)
+                continue
+            vals = table(ti, 0)
+            ti += 1
+            if plan.is_float:
+                vals = vals.astype(np.float64)
+            by_name[name] = vals
+
+        present = np.nonzero(counts_np > 0)[0]
+        order_arr = present[np.argsort(first_np[present], kind="stable")]
+        order_arr = self._ordered_sort(order_arr.astype(np.int64))
+        return emit_output(
+            self._emitted_group_cols(order_arr),
+            order_arr,
+            [spec.result_name for spec in self.aggs],
+            by_name,
+            self.output_projection,
+        )
+
     def _execute(self):
         import jax.numpy as jnp
 
@@ -488,7 +853,20 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     # Values past the segment-reduction identity headroom
                     # (ops/kernels.ident_like) — generic engine territory.
                     raise NotCompilable("min/max values near int64 sentinel")
-        self._gplan, num_codes = self._group_remap(parts)
+        try:
+            self._gplan, num_codes = self._group_remap(parts)
+        except NotCompilable as e:
+            if "group code space" not in str(e):
+                raise
+            # Shuffle tier (VERDICT r3 item 6): past the replicated-[K]
+            # ceiling, aggregate via local sparse reduce + all_to_all pair
+            # exchange + owner-sharded dense tables of O(K/shards) memory
+            # per shard (the role of aggregate.go:430-470's overflow
+            # splitting, distributed).
+            self._gplan, num_codes = self._group_remap(
+                parts, max_codes=SHUFFLE_MAX_CODES
+            )
+            return self._execute_shuffle(parts, num_codes)
 
         result_names = [spec.result_name for spec in self.aggs]
         if not parts:
