@@ -89,8 +89,10 @@ def emit(metric: str, value: float, unit: str) -> None:
 
 
 def time_query(name: str, run, iters: int = 5, engine=None) -> None:
-    # one warmup (jit compile), then timed passes with distinct inputs
+    # two warmups (jit compile; a second pass catches shapes the first
+    # didn't touch), then timed passes with distinct inputs
     run(0)
+    run(iters + 1)
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
         run(i)
@@ -110,6 +112,9 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="frostdb_macro_")
     try:
         store, db, table = build_db(os.path.join(tmp, "db"))
+        table.sync()  # settle background rotation/compaction: stable
+        # part shapes mean the warmup pass covers every jit shape the
+        # timed passes will hit
         engine = LocalEngine(db.table_provider())
         n_rows = 500_000
 
