@@ -155,9 +155,13 @@ class _GroupCol:
     remap: Optional[np.ndarray] = None  # family code -> compact, or None
     inv: Optional[np.ndarray] = None  # compact -> family code
     k: int = 0  # per-column code count (len(inv) or len(dictionary))
-    kind: str = "dict"  # "dict" | "int"
+    kind: str = "dict"  # "dict" | "int" | "bool"
     window: int = 1  # int kind: window width in the column's units
     base: int = 0  # int kind: minimum window index (code 0)
+    # bool kind: the comparison leaf whose mask IS the 2-code key (the
+    # generic boolExprProjection emits dense true/false with no nulls,
+    # project.go:405 — so bool keys never carry null-key semantics).
+    leaf: object = None
 
 
 @dataclass
@@ -210,6 +214,9 @@ class CompiledFilterAggregate:
     # one accumulator tile per 128 codes. The mesh executor overrides this
     # (its XLA segment reductions scale to ~1M codes).
     MAX_CODES = 2048
+    # Group-key columns per query; the distinct lowering raises this (its
+    # pair-code space is still gated by MAX_CODES).
+    MAX_GROUP_COLS = 2
 
     def __init__(
         self,
@@ -250,14 +257,27 @@ class CompiledFilterAggregate:
             if isinstance(group_col, (str, tuple))
             else list(group_col)
         )
-        if not 1 <= len(specs) <= 2:
-            raise NotCompilable("compiled path groups by 1 or 2 columns")
+        if not 1 <= len(specs) <= self.MAX_GROUP_COLS:
+            raise NotCompilable(
+                f"compiled path groups by 1..{self.MAX_GROUP_COLS} columns"
+            )
         self.on_tpu = jax.default_backend() == "tpu"
 
         schema = table.schema()
         self.group_cols: list[str] = []  # column names (both kinds)
         self._gplan = []
         for spec in specs:
+            if isinstance(spec, tuple) and spec[0] == "bool":
+                # ("bool", col, op, lit, out_name): a comparison key.
+                _k, bcol, bop, blit, out_name = spec
+                if out_name in self.group_cols:
+                    raise NotCompilable(f"duplicate group column {out_name}")
+                leaf = self._make_leaf(schema, bcol, bop, blit)
+                self._gplan.append(
+                    _GroupCol(out_name, None, kind="bool", k=2, leaf=leaf)
+                )
+                self.group_cols.append(out_name)
+                continue
             if isinstance(spec, tuple):
                 _kind, gc, window = spec
             else:
@@ -414,6 +434,22 @@ class CompiledFilterAggregate:
         for p in parts:
             total_rows += p.num_rows()
             for gcol in self._gplan:
+                if gcol.kind == "bool":
+                    # The key is the leaf's mask: missing columns resolve
+                    # statically, null inputs yield key False — no null-key
+                    # or presence requirements (project.go:405 semantics).
+                    f = p.batch.column(gcol.leaf.column)
+                    if f is not None:
+                        if gcol.leaf.kind == "int":
+                            if f.kind != KIND_INT64:
+                                raise NotCompilable(
+                                    "bool key column kind mismatch"
+                                )
+                        elif f.kind != KIND_DICT:
+                            raise NotCompilable(
+                                "bool key column kind mismatch"
+                            )
+                    continue
                 g = p.batch.column(gcol.name)
                 if g is None:
                     raise NotCompilable(f"part lacks {gcol.name}")
@@ -617,6 +653,11 @@ class CompiledFilterAggregate:
         n_dict = sum(1 for g in self._gplan if g.kind == "dict")
         for gcol in self._gplan:
             gc, d = gcol.name, gcol.dictionary
+            if gcol.kind == "bool":
+                cols.append(
+                    _GroupCol(gc, None, kind="bool", k=2, leaf=gcol.leaf)
+                )
+                continue
             if gcol.kind == "int":
                 cols.append(
                     self._int_group_plan(parts, gc, self._int_windows[gc])
@@ -799,6 +840,8 @@ class CompiledFilterAggregate:
         combined = None
         gvalid_all = None
         for gcol in gplan:
+            if gcol.kind == "bool":
+                raise NotCompilable("bool group keys need the superpart path")
             g = dev.column(gcol.name)
             if g is None:
                 raise NotCompilable(f"part lacks {gcol.name}")
@@ -998,11 +1041,13 @@ class CompiledFilterAggregate:
         """Cached base selection plane: row-validity AND every group
         column's validity, folded ONCE per (part set, group col set) —
         per-query programs then read one plane instead of 1 + n_group."""
-        k = ("basesel", tuple(g.name for g in gplan))
+        k = ("basesel", tuple(g.name for g in gplan if g.kind != "bool"))
         out = sp["planes"].get(k)
         if out is None:
             out = self._sp_plane(sp, "rowvalid", None)
             for gcol in gplan:
+                if gcol.kind == "bool":
+                    continue  # bool keys are dense true/false, never null
                 out = out * self._sp_plane(sp, "valid", gcol.name)
             sp["planes"][k] = out
         return out
@@ -1130,9 +1175,19 @@ class CompiledFilterAggregate:
         r = self._sp_int_range(sp, leaf.column)
         return r is None or (_INT32_MIN <= r[0] and r[1] <= _INT32_MAX)
 
+    def _leaf_sig(self, sp, leaf) -> tuple:
+        static = _missing_leaf_all_true(leaf)
+        if leaf.kind == "int":
+            return ("int", leaf.op, static, self._leaf_i32_ok(sp, leaf))
+        if leaf.lit is None:
+            return ("nulllit", leaf.op, static)
+        return ("dict", static)
+
     def _fused_structure(self, sp, plans, num_codes) -> tuple:
         g = tuple(
-            (gc.kind, gc.remap is not None, gc.k, gc.window)
+            ("bool", self._leaf_sig(sp, gc.leaf))
+            if gc.kind == "bool"
+            else (gc.kind, gc.remap is not None, gc.k, gc.window)
             for gc in self._gplan
         )
         cl = []
@@ -1163,12 +1218,78 @@ class CompiledFilterAggregate:
         )
         return (g, tuple(cl), vp, self.on_tpu, num_codes)
 
+    def _leaf_args(self, sp, leaf, lut_idx: Optional[int]) -> list:
+        """Device args for one comparison leaf (shared by filter clauses
+        and bool group keys); layout must match _leaf_sig."""
+        import jax.numpy as jnp
+
+        if leaf.kind == "int":
+            if self._leaf_i32_ok(sp, leaf):
+                return [
+                    self._sp_i32_m(sp, leaf.column),
+                    self._sp_plane(sp, "valid_m", leaf.column),
+                    self._sp_plane(sp, "has", leaf.column),
+                    _dev_scalar(leaf.lit, jnp.int32),
+                ]
+            return [
+                self._sp_plane(sp, "int64_m", leaf.column),
+                self._sp_plane(sp, "valid_m", leaf.column),
+                self._sp_plane(sp, "has", leaf.column),
+                _dev_scalar(leaf.lit, jnp.int64),
+            ]
+        if leaf.lit is None:
+            return [
+                self._sp_plane(sp, "valid_m", leaf.column),
+                self._sp_plane(sp, "has", leaf.column),
+            ]
+        return [
+            self._sp_plane(sp, "codes_m", leaf.column),
+            self._sp_plane(sp, "valid_m", leaf.column),
+            self._sp_plane(sp, "has", leaf.column),
+            self._leaf_lut_dev(lut_idx)
+            if lut_idx is not None
+            else self._gkey_lut_dev(leaf),
+        ]
+
+    def _gkey_lut_dev(self, leaf):
+        """Device LUT for a bool GROUP key's dict leaf (filter-leaf LUTs
+        cache by filter index; group leaves cache by leaf identity)."""
+        import jax.numpy as jnp
+
+        from .lsm import _dict_match_lut
+
+        cache = getattr(self, "_gkey_lut_cache", None)
+        if cache is None:
+            cache = self._gkey_lut_cache = {}
+        key = (id(leaf), len(leaf.dictionary))
+        lut = cache.get(key)
+        if lut is None:
+            import re
+
+            try:
+                lut_np = _dict_match_lut(
+                    leaf.dictionary, leaf.op, leaf.lit, None
+                )
+            except re.error:
+                raise NotCompilable("invalid regex literal (generic path)")
+            if lut_np is None:
+                raise NotCompilable(f"op {leaf.op} has no dict LUT")
+            if len(lut_np) == 0:
+                lut_np = np.asarray(
+                    [leaf.op == E.OP_NOT_EQ], dtype=np.bool_
+                )
+            lut = jnp.asarray(lut_np.astype(np.int32))
+            cache[key] = lut
+        return lut
+
     def _fused_args(self, sp, plans) -> list:
         import jax.numpy as jnp
 
         args = []
         for gcol in self._gplan:
-            if gcol.kind == "int":
+            if gcol.kind == "bool":
+                args.extend(self._leaf_args(sp, gcol.leaf, None))
+            elif gcol.kind == "int":
                 args.append(self._sp_plane(sp, "int64", gcol.name))
                 args.append(_dev_scalar(gcol.base, jnp.int64))
             else:
@@ -1178,34 +1299,7 @@ class CompiledFilterAggregate:
         args.append(self._sp_basesel(sp, self._gplan))
         for idxs in self.clauses:
             for i in idxs:
-                leaf = self.filters[i]
-                if leaf.kind == "int":
-                    if self._leaf_i32_ok(sp, leaf):
-                        args += [
-                            self._sp_i32_m(sp, leaf.column),
-                            self._sp_plane(sp, "valid_m", leaf.column),
-                            self._sp_plane(sp, "has", leaf.column),
-                            _dev_scalar(leaf.lit, jnp.int32),
-                        ]
-                    else:
-                        args += [
-                            self._sp_plane(sp, "int64_m", leaf.column),
-                            self._sp_plane(sp, "valid_m", leaf.column),
-                            self._sp_plane(sp, "has", leaf.column),
-                            _dev_scalar(leaf.lit, jnp.int64),
-                        ]
-                elif leaf.lit is None:
-                    args += [
-                        self._sp_plane(sp, "valid_m", leaf.column),
-                        self._sp_plane(sp, "has", leaf.column),
-                    ]
-                else:
-                    args += [
-                        self._sp_plane(sp, "codes_m", leaf.column),
-                        self._sp_plane(sp, "valid_m", leaf.column),
-                        self._sp_plane(sp, "has", leaf.column),
-                        self._leaf_lut_dev(i),
-                    ]
+                args.extend(self._leaf_args(sp, self.filters[i], i))
         for plan in plans:
             if plan.fexact is not None:
                 # Four host-decomposed digit planes (_sp_fplanes): TPU f64
@@ -1237,6 +1331,8 @@ class CompiledFilterAggregate:
         within a single superblock."""
         sel = np.ones(hi - lo, dtype=np.bool_)
         for gcol in self._gplan:
+            if gcol.kind == "bool":
+                continue  # bool keys are never null
             sel &= part.batch.column(gcol.name).validity[lo:hi]
 
         def leaf_mask(i, leaf, f):
@@ -1277,6 +1373,36 @@ class CompiledFilterAggregate:
             sel &= clause if clause is not None else False
         return sel
 
+    def _host_leaf_mask(self, part, leaf, lo: int, hi: int) -> np.ndarray:
+        """Host twin of one leaf's device mask (tie refinement for bool
+        group keys) — same semantics as filter_mask / eval_leaf."""
+        f = part.batch.column(leaf.column)
+        n = hi - lo
+        if f is None:
+            return np.full(n, _missing_leaf_all_true(leaf), dtype=np.bool_)
+        fvalid = f.validity[lo:hi]
+        if leaf.kind == "int":
+            fv = f.values[lo:hi]
+            lit = leaf.lit
+            cmp = {
+                "<": fv < lit,
+                "<=": fv <= lit,
+                ">": fv > lit,
+                ">=": fv >= lit,
+                "==": fv == lit,
+                "!=": fv != lit,
+            }[leaf.op]
+            return cmp & fvalid
+        if leaf.lit is None:
+            return fvalid if leaf.op == E.OP_NOT_EQ else ~fvalid
+        from .lsm import _dict_match_lut
+
+        lut = _dict_match_lut(leaf.dictionary, leaf.op, leaf.lit, None)
+        if lut is None or len(lut) == 0:
+            lut = np.asarray([leaf.op == E.OP_NOT_EQ], dtype=np.bool_)
+        codes = np.minimum(f.values[lo:hi], len(lut) - 1)
+        return lut[codes] & fvalid
+
     def _decode_codes(self, codes: np.ndarray) -> list[np.ndarray]:
         """Combined dense codes -> per-group-column FAMILY codes (dict
         columns) or absolute window indices value//window (int columns)."""
@@ -1306,6 +1432,13 @@ class CompiledFilterAggregate:
         hi = min(lo + ROWS_PER_SUPER, part.batch.num_rows)
         gvs = []
         for gcol in self._gplan:
+            if gcol.kind == "bool":
+                gvs.append(
+                    self._host_leaf_mask(part, gcol.leaf, lo, hi).astype(
+                        np.int64
+                    )
+                )
+                continue
             v = part.batch.column(gcol.name).values[lo:hi]
             if gcol.kind == "int":
                 # Compare in window-index space (fams hold value // w).
@@ -1676,7 +1809,7 @@ class CompiledFilterAggregate:
         fams = self._decode_codes(order_arr)
         keys = [
             fam
-            if gcol.kind == "int"
+            if gcol.kind != "dict"
             else gcol.dictionary.sort_ranks()[fam]
             for gcol, fam in zip(self._gplan, fams)
         ]
@@ -1690,7 +1823,9 @@ class CompiledFilterAggregate:
         fams = self._decode_codes(order_arr)
         out = []
         for gcol, fam in zip(self._gplan, fams):
-            if gcol.kind == "int":
+            if gcol.kind == "bool":
+                out.append((gcol.name, None, fam, "bool"))
+            elif gcol.kind == "int":
                 out.append((gcol.name, None, fam * gcol.window))
             else:
                 out.append((gcol.name, gcol.dictionary, fam))
@@ -1734,21 +1869,69 @@ def _build_fused_program(structure):
 
     def fn(*xs):
         i = 0
-        combined = None
-        for kind, has_remap, k, window in gshape:
-            cplane = xs[i]
-            i += 1
-            if kind == "int":
-                base = xs[i]
-                i += 1
-                c = jnp.clip(
-                    cplane // jnp.int64(window) - base, 0, k - 1
-                ).astype(jnp.int32)
+
+        def eval_leaf(leaf):
+            """One comparison leaf's 0/1 mask plane; consumes its args.
+            Missing columns resolve statically per row range via the
+            cached ``has`` plane."""
+            nonlocal i
+            if leaf[0] == "int":
+                fv, fvalid, has, lit = (
+                    xs[i],
+                    xs[i + 1],
+                    xs[i + 2],
+                    xs[i + 3],
+                )
+                i += 4
+                op = leaf[1]
+                cmp = {
+                    "<": fv < lit,
+                    "<=": fv <= lit,
+                    ">": fv > lit,
+                    ">=": fv >= lit,
+                    "==": fv == lit,
+                    "!=": fv != lit,
+                }[op]
+                m = cmp.astype(jnp.int32) * fvalid
+                static = leaf[2]
+            elif leaf[0] == "nulllit":
+                fvalid, has = xs[i], xs[i + 1]
+                i += 2
+                m = fvalid if leaf[1] == E.OP_NOT_EQ else (1 - fvalid)
+                static = leaf[2]
             else:
-                c = cplane
-                if has_remap:
-                    c = jnp.take(xs[i], c, mode="clip")
+                fcodes, fvalid, has, lut = (
+                    xs[i],
+                    xs[i + 1],
+                    xs[i + 2],
+                    xs[i + 3],
+                )
+                i += 4
+                m = jnp.take(lut, fcodes, mode="clip") * fvalid
+                static = leaf[1]
+            return jnp.where(has == 1, m, 1 if static else 0)
+
+        combined = None
+        for entry in gshape:
+            if entry[0] == "bool":
+                # The key IS the leaf mask (boolExprProjection semantics).
+                c = eval_leaf(entry[1])
+                k = 2
+            else:
+                kind, has_remap, k, window = entry
+                cplane = xs[i]
+                i += 1
+                if kind == "int":
+                    base = xs[i]
                     i += 1
+                    c = jnp.clip(
+                        cplane // jnp.int64(window) - base, 0, k - 1
+                    ).astype(jnp.int32)
+                else:
+                    c = cplane
+                    if has_remap:
+                        c = jnp.take(xs[i], c, mode="clip")
+                        i += 1
             combined = c if combined is None else combined * k + c
         codes = combined
         # Pre-folded row-validity x group-validity plane (_sp_basesel).
@@ -1757,43 +1940,7 @@ def _build_fused_program(structure):
         for cl in clauses:
             cmask = None
             for leaf in cl:
-                if leaf[0] == "int":
-                    fv, fvalid, has, lit = (
-                        xs[i],
-                        xs[i + 1],
-                        xs[i + 2],
-                        xs[i + 3],
-                    )
-                    i += 4
-                    op = leaf[1]
-                    cmp = {
-                        "<": fv < lit,
-                        "<=": fv <= lit,
-                        ">": fv > lit,
-                        ">=": fv >= lit,
-                        "==": fv == lit,
-                        "!=": fv != lit,
-                    }[op]
-                    m = cmp.astype(jnp.int32) * fvalid
-                    static = leaf[2]
-                elif leaf[0] == "nulllit":
-                    fvalid, has = xs[i], xs[i + 1]
-                    i += 2
-                    m = fvalid if leaf[1] == E.OP_NOT_EQ else (1 - fvalid)
-                    static = leaf[2]
-                else:
-                    fcodes, fvalid, has, lut = (
-                        xs[i],
-                        xs[i + 1],
-                        xs[i + 2],
-                        xs[i + 3],
-                    )
-                    i += 4
-                    m = jnp.take(lut, fcodes, mode="clip") * fvalid
-                    static = leaf[1]
-                # Parts lacking the column resolve statically per row range
-                # via the cached ``has`` plane.
-                m = jnp.where(has == 1, m, 1 if static else 0)
+                m = eval_leaf(leaf)
                 cmask = m if cmask is None else jnp.maximum(cmask, m)
             sel = sel * cmask
 
@@ -1917,7 +2064,17 @@ def emit_output(
     n = len(order_arr)
 
     def group_column(i):
-        name, dictionary, codes = group_cols[i]
+        name, dictionary, codes, *rest = group_cols[i]
+        if rest and rest[0] == "bool":
+            # comparison group key: dense true/false (project.go:405).
+            from .columnbatch import KIND_BOOL
+
+            return Column(
+                name,
+                KIND_BOOL,
+                np.asarray(codes).astype(np.bool_),
+                np.ones(n, dtype=bool),
+            )
         if dictionary is None:
             # int/window group key: emitted values, not dict codes.
             return Column(

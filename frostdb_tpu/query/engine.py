@@ -188,6 +188,22 @@ class LocalQueryBuilder:
                 return
             except NotCompilable as e:
                 reasons["dense"] = str(e) or type(e).__name__
+            # Compiled distinct serving (the Parca Types/Values shapes):
+            # the fused group machinery with zero aggregations
+            # (compiled_distinct.py); comparison keys ride as 2-code bool
+            # group columns.
+            from ..compiled_distinct import lower_plan_distinct
+
+            try:
+                out = lower_plan_distinct(
+                    plan, self.engine.exec_options
+                ).execute()
+                self._mark_path("compiled_distinct", reasons, root_span)
+                if out.num_rows > 0:
+                    callback(out)
+                return
+            except NotCompilable as e:
+                reasons["compiled_distinct"] = str(e) or type(e).__name__
             # Device-resident filter->project serving (non-aggregate row
             # retrieval): the selection mask + compaction run on device
             # over the cached parts; the host materializes only selected
