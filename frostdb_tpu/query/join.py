@@ -266,10 +266,26 @@ def local_join_pairs(lcodes, lvalid, rcodes, rvalid, num_codes, total, how):
     _t, li, rrow, _live, matched = K.join_expand(
         lc, lkv, llive, rc, rkv, nc, cap, how == "left_outer"
     )
-    li = np.asarray(li)[:total]
-    rrow = np.asarray(rrow)[:total]
-    matched = np.asarray(matched)[:total]
-    return li.astype(np.int64), rrow.astype(np.int64), matched
+    # ONE device->host fetch of (almost) only the emitted rows: ``total``
+    # is host-known (the bincount expansion size), so the device slices to
+    # the next power of two above it (STABLE shapes — per-query sizes
+    # would recompile the fetch executable through the tunnel every query)
+    # and int32 packing halves the bytes (row ids < 2^31 by construction).
+    import jax.numpy as jnp
+
+    fetch_n = min(_next_pow2(max(total, 1)), cap)
+    parts = [li[:fetch_n].astype(jnp.int32), rrow[:fetch_n].astype(jnp.int32)]
+    if how == "left_outer":
+        parts.append(matched[:fetch_n].astype(jnp.int32))
+    blob = np.asarray(jnp.concatenate(parts))
+    li = blob[:total].astype(np.int64)
+    rrow = blob[fetch_n : fetch_n + total].astype(np.int64)
+    if how == "left_outer":
+        matched_np = blob[2 * fetch_n : 2 * fetch_n + total].astype(np.bool_)
+    else:
+        # inner joins emit matches only — no need to ship an all-true mask
+        matched_np = np.ones(total, dtype=np.bool_)
+    return li, rrow, matched_np
 
 
 def mesh_join_pairs(lcodes, lvalid, rcodes, rvalid, num_codes, how, mesh, axis):
