@@ -183,6 +183,10 @@ class _ValuePlan:
     # aggregate.go:778).
     fexact: object = None
     fexact_top_digits: int = 1
+    # Non-integral float64 min/max: order via the monotone int64 bit
+    # transform (k = bits ^ ((bits >> 63) & 0x7FF..F)) — served by the
+    # int64-native dense/mesh tiers; the Pallas tier declines.
+    fmm: bool = False
 
 
 # lo-plane width for wide (two-plane) sums: 28 bits = 4 base-128 digits.
@@ -430,6 +434,7 @@ class CompiledFilterAggregate:
         float_nonintegral: set = set()
         for plan in self.value_plans.values():
             plan.fexact = None  # re-derived per execute (part sets change)
+            plan.fmm = False
         total_rows = 0
         for p in parts:
             total_rows += p.num_rows()
@@ -500,7 +505,17 @@ class CompiledFilterAggregate:
             if plan.column not in float_nonintegral:
                 continue
             if plan.need_minmax:
-                raise NotCompilable("non-integral float min/max")
+                ok = all(
+                    p.float_minmax_meta(plan.column) == (True, False)
+                    for p in parts
+                )
+                if not ok:
+                    raise NotCompilable(
+                        "non-finite or negative-zero float min/max"
+                    )
+                plan.fmm = True
+            if not plan.need_sum:
+                continue
             from .floatsum import make_plan as _fs_make_plan
 
             fplan = _fs_make_plan(
@@ -513,6 +528,9 @@ class CompiledFilterAggregate:
             plan.fexact = fplan
             top_span = max(fplan.top_max - fplan.top_min, 1)
             plan.fexact_top_digits = _digits_for(top_span)
+        # Filter-column kind checks run per PART (they had drifted into the
+        # float loop above, checking only the last part).
+        for p in parts:
             for leaf in self.filters:
                 f = p.batch.column(leaf.column)
                 if f is None:
@@ -546,6 +564,10 @@ class CompiledFilterAggregate:
         bits."""
         ranges = self._check_parts_common(parts)
         for plan in self.value_plans.values():
+            if plan.fmm:
+                raise NotCompilable(
+                    "float min/max needs the int64-native dense tier"
+                )
             if plan.fexact is not None:
                 continue  # exact-decomposition planes plan themselves
             vmin, vmax = ranges[plan.column]

@@ -96,6 +96,26 @@ class Part:
         self._raw_ranges[key] = meta
         return meta
 
+    def float_minmax_meta(self, name: str):
+        """(all_finite, has_negative_zero) over raw slots, cached — the
+        gate for monotone-int64 float min/max on the dense/mesh tiers
+        (-0.0 would make the total order visibly stricter than the
+        generic engine's IEEE min/max on the -0/+0 pair)."""
+        key = ("float_minmax_meta", name)
+        if key in self._raw_ranges:
+            return self._raw_ranges[key]
+        c = self.batch.column(name)
+        if c is None or not np.issubdtype(c.values.dtype, np.floating):
+            meta = (False, True)
+        else:
+            v = c.values
+            meta = (
+                bool(np.isfinite(v).all()),
+                bool(((v == 0.0) & np.signbit(v)).any()),
+            )
+        self._raw_ranges[key] = meta
+        return meta
+
     def all_valid(self, name: str) -> bool:
         """Whether every slot of the column is valid — cached (parts are
         immutable): per-query serving must not rescan a 2M-row validity

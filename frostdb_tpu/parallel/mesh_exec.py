@@ -140,20 +140,23 @@ def _unpack_inputs(xs, gshape, clause_sigs, ops, axis, trivial):
         sel = sel & cmask
     vlist = []
     vops = []
-    for func, _is_float, fexact in ops:
+    vfmm = []
+    for func, _is_float, fexact, fmm in ops:
         if func == E.AGG_COUNT:
             continue
         if fexact:
             for _p in range(4):
                 vlist.append(xs[i].astype(jnp.int64))
                 vops.append(K.AGG_SUM)
+                vfmm.append(False)
                 i += 1
             continue
         v, _vvalid = xs[i], xs[i + 1]
         i += 2
         vlist.append(v.astype(jnp.int64))
         vops.append(func)
-    return i, gcodes, sel, rows, vlist, vops
+        vfmm.append(fmm)
+    return i, gcodes, sel, rows, vlist, vops, vfmm
 
 
 class MeshFilterAggregate(CompiledFilterAggregate):
@@ -267,10 +270,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             (
                 spec.func,
                 self.value_plans[spec.column].is_float,
-                self.value_plans[spec.column].fexact is not None,
+                spec.func == E.AGG_SUM
+                and self.value_plans[spec.column].fexact is not None,
+                spec.func in (E.AGG_MIN, E.AGG_MAX)
+                and self.value_plans[spec.column].fmm,
             )
             if spec.func != E.AGG_COUNT
-            else (E.AGG_COUNT, False, False)
+            else (E.AGG_COUNT, False, False, False)
             for spec in self.aggs
         )
         gshape = tuple(
@@ -304,17 +310,33 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             # (int: fvals,fvalid,lit | nulllit: fvalid | dict:
             # fcodes,fvalid,lut), then per non-count agg (vals, vvalid /
             # fexact: 4 digit planes) — unpacked by _unpack_inputs.
-            _i, gcodes, sel, rows, vlist, vops = _unpack_inputs(
+            _i, gcodes, sel, rows, vlist, vops, vfmm = _unpack_inputs(
                 xs, gshape, clause_sigs, ops, axis, trivial
             )
             c32 = gcodes.astype(jnp.int32)
-            if num_codes > _SORTED_THRESHOLD:
+            _I64_MAX = jnp.int64(2**63 - 1)
+            _I64_MIN = jnp.int64(-(2**63))
+            sorted_path = num_codes > _SORTED_THRESHOLD
+            fmm_global: dict = {}
+            if sorted_path:
                 # Large-K: one sort + prefix sums beats XLA's scatter-based
-                # segment reductions by orders of magnitude on TPU.
+                # segment reductions by orders of magnitude on TPU. Its
+                # min/max take the segment's first/last SORTED element, so
+                # full-range monotone float keys (fmm) are sentinel-safe —
+                # but shard-local EMPTY groups hold the +-2^62 identity,
+                # which transformed keys can exceed; widen those slots to
+                # int64 extremes before the cross-shard combine.
                 counts_l, first_l, outs_l = K.sorted_group_reduce(
                     c32, sel, rows, tuple(vlist), num_codes, tuple(vops)
                 )
                 partials = list(outs_l)
+                for vi2, (func, fmm) in enumerate(zip(vops, vfmm)):
+                    if not fmm:
+                        continue
+                    ident = _I64_MAX if func == K.AGG_MIN else _I64_MIN
+                    partials[vi2] = jnp.where(
+                        counts_l > 0, partials[vi2], ident
+                    )
             else:
                 ones = jnp.ones(gcodes.shape[0], dtype=jnp.int64)
                 counts_l = K.dense_group_reduce(
@@ -323,15 +345,43 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 first_l = K.dense_group_reduce(
                     c32, rows, sel, num_codes, K.AGG_MIN
                 )
-                partials = [
-                    K.dense_group_reduce(c32, v, sel, num_codes, func)
-                    for v, func in zip(vlist, vops)
-                ]
+                partials = []
+                for vi2, (v, func) in enumerate(zip(vlist, vops)):
+                    if vfmm[vi2]:
+                        # Monotone float keys span past the +-2^62 reduce
+                        # identities; reduce lexicographically as (hi, lo)
+                        # int32-range halves with the cross-shard combine
+                        # folded in (the compiled wide-min/max pattern).
+                        hi = v >> jnp.int64(32)
+                        lo = v & jnp.int64(0xFFFFFFFF)
+                        hi_l = K.dense_group_reduce(
+                            c32, hi, sel, num_codes, func
+                        )
+                        g_hi = (
+                            pmin(hi_l, axis)
+                            if func == K.AGG_MIN
+                            else pmax(hi_l, axis)
+                        )
+                        sel2 = sel & (hi == jnp.take(g_hi, c32, mode="clip"))
+                        lo_l = K.dense_group_reduce(
+                            c32, lo, sel2, num_codes, func
+                        )
+                        g_lo = (
+                            pmin(lo_l, axis)
+                            if func == K.AGG_MIN
+                            else pmax(lo_l, axis)
+                        )
+                        fmm_global[vi2] = (g_hi << jnp.int64(32)) | g_lo
+                        partials.append(None)
+                        continue
+                    partials.append(
+                        K.dense_group_reduce(c32, v, sel, num_codes, func)
+                    )
             counts = psum(counts_l, axis)
             first = pmin(first_l, axis)
             outs = [counts, first]
             vi = 0
-            for func, _is_float, fexact in ops:
+            for func, _is_float, fexact, fmm in ops:
                 if func == E.AGG_COUNT:
                     outs.append(counts)
                     continue
@@ -339,6 +389,17 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     for _p in range(4):
                         outs.append(psum(partials[vi], axis))
                         vi += 1
+                    continue
+                if fmm and vi in fmm_global:
+                    # already globally combined; empty groups clamp so the
+                    # cross-part accumulate never sees wrapped sentinels
+                    ident = (
+                        _I64_MAX if func == E.AGG_MIN else _I64_MIN
+                    )
+                    outs.append(
+                        jnp.where(counts > 0, fmm_global[vi], ident)
+                    )
+                    vi += 1
                     continue
                 partial = partials[vi]
                 vi += 1
@@ -373,13 +434,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                         in_specs += [P(axis)]
                     else:
                         in_specs += [P(axis), P(axis), P()]
-            for func, _is_float, fexact in ops:
+            for func, _is_float, fexact, _fmm in ops:
                 if func != E.AGG_COUNT:
                     if fexact:
                         in_specs += [P(axis)] * 4
                     else:
                         in_specs += [P(axis), P(axis)]
-            n_out = 2 + sum(4 if f else 1 for _fn, _if, f in ops)
+            n_out = 2 + sum(4 if f else 1 for _fn, _if, f, _m in ops)
             prog = jax.jit(
                 jax.shard_map(
                     step,
@@ -432,7 +493,34 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             if v is None:
                 raise NotCompilable(f"part lacks {spec.column}")
             plan = self.value_plans[spec.column]
-            if plan.fexact is not None:
+            if spec.func in (E.AGG_MIN, E.AGG_MAX) and plan.fmm:
+                # monotone int64 key plane (host-transformed, cached):
+                # k = bits ^ ((bits >> 63) & 0x7FF..F) orders exactly like
+                # the doubles; decode inverts the same transform.
+                col = spec.column
+
+                def mk_fmm(col=col, part=part):
+                    def compute():
+                        from ..columnbatch import Column as _HC
+
+                        c = part.batch.column(col)
+                        b = np.ascontiguousarray(
+                            c.values, dtype=np.float64
+                        ).view(np.int64)
+                        k = b ^ ((b >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+                        return _HC(
+                            f"{col}#fmm",
+                            "int64",
+                            k,
+                            np.ones(len(k), dtype=np.bool_),
+                        )
+
+                    return compute
+
+                dc = sp.derived(f"{col}#fmm", mk_fmm())
+                args += [dc.data, dc.validity]
+                continue
+            if spec.func == E.AGG_SUM and plan.fexact is not None:
                 # Four host-decomposed digit planes (floatsum.decompose_np;
                 # TPU f64 arithmetic rounds, so on-device decomposition is
                 # impossible), uploaded once per part via the derived-column
@@ -498,12 +586,12 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         n_shards = 1 if trivial else self.mesh.shape[axis]
         n_aggv = sum(
             (4 if f else 1)
-            for fn, _if, f in ops
+            for fn, _if, f, _m in ops
             if fn != E.AGG_COUNT
         )
 
         def step(*xs):
-            i, gcodes, sel, rows, vlist, vops = _unpack_inputs(
+            i, gcodes, sel, rows, vlist, vops, vfmm = _unpack_inputs(
                 xs, gshape, clause_sigs, ops, axis, trivial
             )
             tabs = list(xs[i : i + 2 + n_aggv])
@@ -690,7 +778,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                         in_specs += [P(axis)]
                     else:
                         in_specs += [P(axis), P(axis), P()]
-            for func, _is_float, fexact in ops:
+            for func, _is_float, fexact, _fmm in ops:
                 if func != E.AGG_COUNT:
                     if fexact:
                         in_specs += [P(axis)] * 4
@@ -711,6 +799,10 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         return prog
 
     def _execute_shuffle(self, parts, num_codes: int):
+        if any(p.fmm for p in self.value_plans.values()):
+            # pair partials reduce with +-2^62 identities that monotone
+            # float keys can exceed; generic serves these.
+            raise NotCompilable("float min/max past the shuffle tier")
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -901,7 +993,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 name = spec.result_name
                 prev = acc[name]
                 if (
-                    spec.func != E.AGG_COUNT
+                    spec.func == E.AGG_SUM
                     and self.value_plans[spec.column].fexact is not None
                 ):
                     planes = list(outs[oi : oi + 4])
@@ -944,7 +1036,11 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 if spec.func != E.AGG_COUNT
                 else None
             )
-            if plan is not None and plan.fexact is not None:
+            if (
+                spec.func == E.AGG_SUM
+                and plan is not None
+                and plan.fexact is not None
+            ):
                 from ..floatsum import recombine
 
                 pls = []
@@ -955,6 +1051,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 continue
             vals = blob[off : off + num_codes]
             off += num_codes
+            if (
+                spec.func in (E.AGG_MIN, E.AGG_MAX)
+                and plan is not None
+                and plan.fmm
+            ):
+                # invert the monotone transform and reinterpret as f64
+                k = vals.astype(np.int64)
+                b = k ^ ((k >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+                by_name[name] = b.view(np.float64)
+                continue
             if plan is not None and plan.is_float:
                 vals = vals.astype(np.float64)
             by_name[name] = vals

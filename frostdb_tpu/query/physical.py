@@ -533,6 +533,21 @@ class HashAggregate(PhysicalOperator):
         kernel_specs = []  # (func, src col) rows actually fed to the kernel
         spec_map = []  # per agg_spec: ("plain", i) | ("planes", [i*4], plan)
         for func, src, result_name, from_partial in agg_specs:
+            if func in (E.AGG_MIN, E.AGG_MAX) and src.kind == "float64":
+                kernel_specs.append(
+                    (
+                        func,
+                        Column(
+                            f"{result_name}#ord",
+                            KIND_INT64,
+                            _float_ord_encode(src.values),
+                            src.validity,
+                        ),
+                        from_partial,
+                    )
+                )
+                spec_map.append(("fminmax", len(kernel_specs) - 1))
+                continue
             if func == E.AGG_SUM and src.kind == "float64":
                 fplan = make_plan([column_meta(src.values)], n)
                 if fplan is not None:
@@ -621,6 +636,18 @@ class HashAggregate(PhysicalOperator):
                 )
             )
         for (func, src, result_name, _fp), m in zip(agg_specs, spec_map):
+            if m[0] == "fminmax":
+                i = m[1]
+                vals = _float_ord_decode(np.asarray(av[i])[:ng])
+                out_cols.append(
+                    Column(
+                        result_name,
+                        "float64",
+                        vals,
+                        np.asarray(avv[i])[:ng],
+                    )
+                )
+                continue
             if m[0] == "planes":
                 _tag, idxs, fplan = m
                 plane_sums = [np.asarray(av[i])[:ng] for i in idxs]
@@ -746,6 +773,35 @@ class OrderedAggregate(HashAggregate):
                 )
             )
         for func, src, result_name, from_partial in agg_specs:
+            if func in (E.AGG_MIN, E.AGG_MAX) and src.kind == "float64":
+                dc = dev._upload(
+                    Column(
+                        f"{result_name}#ord",
+                        KIND_INT64,
+                        _float_ord_encode(src.values),
+                        src.validity,
+                    )
+                )
+                o, vo = K.segment_agg(
+                    dc.data,
+                    dc.validity,
+                    identity,
+                    sel,
+                    seg,
+                    identity,
+                    (_FINAL_AGG_FUNC if from_partial else _PARTIAL_AGG_FUNC)[
+                        func
+                    ],
+                )
+                out_cols.append(
+                    Column(
+                        result_name,
+                        "float64",
+                        _float_ord_decode(np.asarray(o)[:ng]),
+                        np.asarray(vo)[:ng],
+                    )
+                )
+                continue
             # Exact float64 sums (floatsum.py) — same gate/planes as the
             # unordered aggregate so both emit the identical value.
             if func == E.AGG_SUM and src.kind == "float64":
@@ -1181,6 +1237,23 @@ def _expr_is_floatish(e, schema) -> bool:
             e.els, schema
         )
     return True  # unknown expr kinds: assume float (exactness-safe)
+
+
+_ORD_MASK = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def _float_ord_encode(values: np.ndarray) -> np.ndarray:
+    """Monotone int64 keys for float64 ordering: k = bits ^ ((bits >> 63)
+    & 0x7FF..F). TPU-emulated f64 min/max loses the last ulp (caught by an
+    on-device oracle check), so float min/max order via exact int64
+    reductions everywhere; the transform is self-inverse."""
+    b = np.ascontiguousarray(values, dtype=np.float64).view(np.int64)
+    return b ^ ((b >> 63) & _ORD_MASK)
+
+
+def _float_ord_decode(keys: np.ndarray) -> np.ndarray:
+    k = np.asarray(keys, dtype=np.int64)
+    return (k ^ ((k >> 63) & _ORD_MASK)).view(np.float64)
 
 
 def _agg_needs_single_stage(node) -> bool:

@@ -263,3 +263,111 @@ def test_fexact_with_filter_and_negative_values():
         acc[grps[i]] = acc.get(grps[i], Fraction(0)) + Fraction(vals[i])
     for g, f in acc.items():
         assert got[g] == float(f), g
+
+
+# --- float64 min/max on the dense/mesh tiers (monotone int64 transform) ---
+
+
+def _mkmm(vals_per_part, grps_per_part):
+    return _mk(vals_per_part, grps_per_part)
+
+
+def _minmax(db, compiled=False, mesh=None):
+    engine = LocalEngine(
+        db.table_provider(),
+        ExecOptions(compiled_serving=compiled, mesh=mesh),
+    )
+    out = []
+    engine.scan_table("t").aggregate(
+        [E.Min(E.Col("fv")), E.Max(E.Col("fv")), E.Sum(E.Col("fv"))],
+        [E.Col("g")],
+    ).execute(out.append)
+    res = {}
+    for b in out:
+        for i in range(b.num_rows):
+            res[b.column("g").py_value(i)] = (
+                float(b.column("min(fv)").values[i]),
+                float(b.column("max(fv)").values[i]),
+                float(b.column("sum(fv)").values[i]),
+            )
+    return res, engine.last_serving_path
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_float_minmax_dense_and_mesh_parity(seed):
+    """Non-integral float min/max (+ exact sum on the same column) on the
+    fast tiers, byte-identical to generic — incl. huge magnitudes whose
+    monotone keys exceed the 2^62 reduce identities."""
+    rng = np.random.default_rng(seed)
+    vpp, gpp = [], []
+    for _p in range(2):
+        n = 400
+        v = rng.normal(0, 1, n) * 10.0 ** rng.integers(-3, 4, n)
+        vpp.append(v.tolist())
+        gpp.append([f"g{int(x)}" for x in rng.integers(0, 6, n)])
+    _s, db, _t = _mkmm(vpp, gpp)
+    slow, spath = _minmax(db)
+    assert spath == "generic"
+    fast, fpath = _minmax(db, compiled=True)
+    assert fpath == "dense", fpath
+    assert fast == slow
+    from frostdb_tpu.parallel.mesh import make_mesh
+
+    for n_dev in (1, 8):
+        mesh_res, mpath = _minmax(db, mesh=make_mesh(n_dev))
+        assert mpath == "mesh", mpath
+        assert mesh_res == slow
+
+
+def test_float_minmax_huge_magnitudes():
+    """Values >= 2.0 transform past 2^62; 1e300 nearly exhausts int64 —
+    the lexicographic (hi, lo) path must stay exact. (No sum here: the
+    1e300-vs-1e-300 ulp spread correctly fails the exact-sum width gate.)"""
+    vpp = [[1e300, -1e300, 2.5, -2.5, 1e-300, 3.75]]
+    gpp = [["a", "a", "a", "a", "a", "a"]]
+    _s, db, _t = _mkmm(vpp, gpp)
+
+    def mm_only(compiled):
+        engine = LocalEngine(
+            db.table_provider(), ExecOptions(compiled_serving=compiled)
+        )
+        out = []
+        engine.scan_table("t").aggregate(
+            [E.Min(E.Col("fv")), E.Max(E.Col("fv"))], [E.Col("g")]
+        ).execute(out.append)
+        b = out[0]
+        return (
+            float(b.column("min(fv)").values[0]),
+            float(b.column("max(fv)").values[0]),
+        ), engine.last_serving_path
+
+    slow, _ = mm_only(False)
+    fast, path = mm_only(True)
+    assert path == "dense", path
+    assert fast == slow == (-1e300, 1e300)
+
+
+def test_float_minmax_negzero_falls_generic():
+    vpp = [[-0.0, 1.5, 2.5]]
+    gpp = [["a", "a", "a"]]
+    _s, db, _t = _mkmm(vpp, gpp)
+    fast, path = _minmax(db, compiled=True)
+    assert path == "generic"
+
+
+def test_float_minmax_sorted_path_large_k():
+    """fmm through the sorted reduce (K > 4096): empty-shard identities
+    must widen before the cross-shard combine."""
+    from frostdb_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    vals = (rng.normal(0, 5, n) * 10.0 ** rng.integers(-2, 3, n)).tolist()
+    grps = [f"g{int(x)}" for x in rng.integers(0, 6000, n)]
+    _s, db, _t = _mkmm([vals], [grps])
+    slow, _ = _minmax(db)
+    fast, path = _minmax(db, compiled=True)
+    assert path == "dense", path
+    assert fast == slow
+    mesh_res, mpath = _minmax(db, mesh=make_mesh(8))
+    assert mpath == "mesh" and mesh_res == slow
