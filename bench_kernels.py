@@ -132,17 +132,23 @@ def main() -> None:
     rkv = jnp.ones(n_build, dtype=jnp.bool_)
     ltrue = jnp.ones(n, dtype=jnp.bool_)
 
+    n_join = min(n, 1 << 23)  # the sort-based CSR is heavier per row
+    ltrue_j = jnp.ones(n_join, dtype=jnp.bool_)
+
     @jax.jit
     def join_probe(x, carry, salt):
-        lc = (x + salt.astype(jnp.int64) + jnp.minimum(carry, 0)) & (
+        lc = (x[:n_join] + salt.astype(jnp.int64) + jnp.minimum(carry, 0)) & (
             n_keys - 1
         )
         total, li, rrow, live, matched = join_expand(
-            lc, ltrue, ltrue, rcodes, rkv, n_keys, n, False
+            lc, ltrue_j, ltrue_j, rcodes, rkv, n_keys, n_join, False
         )
         return total + li[0]
 
     rows, gbs = chain(join_probe, datasets64, 8)
+    # chain assumes n rows/iter; rescale to the sliced probe size
+    rows *= n_join / n
+    gbs *= n_join / n
     results["hash-join CSR expand (8B/row probe)"] = (rows, gbs)
 
     @jax.jit
