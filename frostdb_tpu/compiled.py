@@ -218,9 +218,9 @@ class CompiledFilterAggregate:
     # one accumulator tile per 128 codes. The mesh executor overrides this
     # (its XLA segment reductions scale to ~1M codes).
     MAX_CODES = 2048
-    # Group-key columns per query; the distinct lowering raises this (its
-    # pair-code space is still gated by MAX_CODES).
-    MAX_GROUP_COLS = 2
+    # Group-key columns per query; the combined code space is gated by
+    # MAX_CODES regardless.
+    MAX_GROUP_COLS = 4
 
     def __init__(
         self,
@@ -250,7 +250,8 @@ class CompiledFilterAggregate:
         import jax
 
         self.table = table
-        # 1 or 2 group columns, each either dict-coded (string) or int64
+        # 1..MAX_GROUP_COLS group columns, each either dict-coded (string),
+        # int64, or a comparison ("bool") key; int64 columns are
         # (optionally windowed — DurationExpr / second(), expr.go:1072,
         # visitor.go:332). Specs: a plain name (kind decided by schema
         # type) or ("int", name, window). Two columns combine into one
@@ -2299,8 +2300,8 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
             )
         else:
             raise NotCompilable("compiled path needs concrete group columns")
-    if len(group_specs) > 2:
-        raise NotCompilable("compiled path groups by at most 2 columns")
+    if len(group_specs) > 4:
+        raise NotCompilable("compiled path groups by at most 4 columns")
     group_col = group_specs[0] if len(group_specs) == 1 else group_specs
 
     aggs: list[tuple[str, str, str]] = []

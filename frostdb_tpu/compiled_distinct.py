@@ -27,8 +27,7 @@ from .query import expr as E
 class CompiledDistinct(CompiledFilterAggregate):
     """Distinct = the fused group machinery with zero aggregations."""
 
-    # distinct key tuples routinely exceed the 2-column aggregation cap;
-    # the combined code space is still gated by MAX_CODES.
+    # (the base class allows 4 group columns; kept explicit here)
     MAX_GROUP_COLS = 4
 
 

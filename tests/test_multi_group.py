@@ -156,3 +156,84 @@ def test_three_column_group_by_falls_back():
     fast = _run(db, ExecOptions(), q, tracer)
     assert fast == generic
     assert tracer.roots[0].attributes["path"] == "generic"
+
+
+def test_three_and_four_group_columns_fast_paths():
+    """Round 4: aggregations over 3-4 group columns ride the fast tiers
+    (the pair-code machinery generalizes; MAX_CODES still gates)."""
+    import numpy as np
+
+    from frostdb_tpu.columnbatch import Column, ColumnBatch, KIND_DICT, KIND_INT64
+    from frostdb_tpu.db import ColumnStore
+    from frostdb_tpu.parallel.mesh import make_mesh
+    from frostdb_tpu.query import expr as E
+    from frostdb_tpu.query.engine import LocalEngine
+    from frostdb_tpu.query.physical import ExecOptions
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.table import TableConfig
+
+    store = ColumnStore()
+    db = store.db("mg4")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    rng = np.random.default_rng(5)
+    for _p in range(2):
+        n = 500
+        d_et = table.dictionary("example_type")
+        d_l = table.dictionary("labels")
+        d_st = table.dictionary("stacktrace")
+        et, etv = d_et.encode(rng.choice(["a", "b", "c"], n).tolist())
+        l1, l1v = d_l.encode([f"x{int(i)}" for i in rng.integers(0, 4, n)])
+        st, stv = d_st.encode([f"s{int(i)}" for i in rng.integers(0, 5, n)])
+        table.insert_record(
+            ColumnBatch(
+                [
+                    Column("example_type", KIND_DICT, et, etv, d_et),
+                    Column("labels.l1", KIND_DICT, l1, l1v, d_l),
+                    Column("stacktrace", KIND_DICT, st, stv, d_st),
+                    Column(
+                        "timestamp",
+                        KIND_INT64,
+                        rng.integers(0, 8, n).astype(np.int64),
+                        np.ones(n, bool),
+                    ),
+                    Column(
+                        "value",
+                        KIND_INT64,
+                        rng.integers(-50, 50, n).astype(np.int64),
+                        np.ones(n, bool),
+                    ),
+                ],
+                n,
+            )
+        )
+
+    def run(opts, groups):
+        eng = LocalEngine(db.table_provider(), opts)
+        out = []
+        eng.scan_table("t").aggregate(
+            [E.Sum(E.Col("value")), E.Count(E.Col("value"))], groups
+        ).execute(out.append)
+        return [
+            tuple((c.name, c.py_value(i)) for c in b.columns)
+            for b in out
+            for i in range(b.num_rows)
+        ], eng.last_serving_path
+
+    for groups in (
+        [E.Col("example_type"), E.Col("labels.l1"), E.Col("stacktrace")],
+        [
+            E.Col("example_type"),
+            E.Col("labels.l1"),
+            E.Col("stacktrace"),
+            E.Col("timestamp"),
+        ],
+        [E.Col("example_type"), E.Duration(4), E.Col("labels.l1")],
+    ):
+        slow, spath = run(ExecOptions(compiled_serving=False), groups)
+        assert spath == "generic"
+        fast, fpath = run(ExecOptions(), groups)
+        assert fpath in ("compiled", "dense"), (fpath,)
+        assert fast == slow
+        mesh, mpath = run(ExecOptions(mesh=make_mesh(8)), groups)
+        assert mpath == "mesh"
+        assert mesh == slow
