@@ -79,6 +79,13 @@ class NotCompilable(Exception):
     to the generic engine."""
 
 
+# Internal filter-leaf op for the join->aggregate fusion (compiled_join.py):
+# the leaf's ``lit`` IS a precomputed boolean LUT over the table-global
+# dictionary codes (the build side's match set), applied like any other dict
+# leaf — one gather per row. Never produced by user expressions.
+OP_IN_LUT = "in_lut"
+
+
 @dataclass
 class _AggSpec:
     func: str  # "sum" | "count" | "min" | "max"
@@ -115,6 +122,13 @@ def _missing_leaf_all_true(leaf: _FilterLeaf) -> bool:
     filter.go:174) instead of crashing the compiled path."""
     import re
 
+    if leaf.op == OP_IN_LUT:
+        # Join match/anti leaf (compiled_join.py): a missing key column
+        # means all-null join keys, and null keys never survive any join
+        # mode (inner/semi drop non-matches; anti drops null keys too,
+        # query/join.py join_batches ``lvalid & (mc == 0)``) — the part is
+        # statically empty.
+        return False
     try:
         return missing_column_all_true(leaf.op, leaf.lit)
     except re.error:
@@ -187,6 +201,20 @@ class _ValuePlan:
     # transform (k = bits ^ ((bits >> 63) & 0x7FF..F)) — served by the
     # int64-native dense/mesh tiers; the Pallas tier declines.
     fmm: bool = False
+    # Virtual plane source (the join->aggregate fusion, compiled_join.py):
+    #   None                     a real part column (the default)
+    #   ("gather", key_col)      plane = lut[key codes] — a per-key-code
+    #                            right-side partial (sum/count/min/max over
+    #                            the build side) gathered by the probe
+    #                            side's dictionary codes
+    #   ("mul", key_col, src)    plane = src_values * cnt_lut[key codes] —
+    #                            a probe-side value replicated per matching
+    #                            build row (sum over join pairs)
+    # Runtime LUT contents ride in ``lut`` (np.int64, raw/unshifted; the
+    # device upload applies the bias shift host-side).
+    source: object = None
+    lut: object = None
+    lut_dev: object = None  # per-execute shifted device LUT
 
 
 # lo-plane width for wide (two-plane) sums: 28 bits = 4 base-128 digits.
@@ -468,11 +496,19 @@ class CompiledFilterAggregate:
                     raise NotCompilable(
                         f"group column {gcol.name} kind mismatch"
                     )
-                if not p.all_valid(gcol.name):
+                if not p.all_valid(gcol.name) and (
+                    gcol.name not in self._null_ok_group_cols
+                ):
                     # The generic engine emits a null-key group for these
                     # rows (kernels.group_ids keys on validity); fall back.
+                    # Exception: join-key group columns under the join
+                    # fusion (compiled_join.py) — null keys never survive
+                    # the join, and the selection mask already drops them
+                    # (basesel multiplies group validity).
                     raise NotCompilable("null group keys (generic engine path)")
             for plan in self.value_plans.values():
+                if plan.source is not None:
+                    continue  # virtual plane: no part column to check
                 c = p.batch.column(plan.column)
                 if c is None:
                     raise NotCompilable(f"part lacks {plan.column}")
@@ -551,7 +587,18 @@ class CompiledFilterAggregate:
                 # Past this bound a float64 sum can round while the int64
                 # sum stays exact — the paths could disagree; generic.
                 raise NotCompilable("float sum magnitude bound exceeds 2^53")
+        # Virtual value planes (join fusion) derive their ranges from the
+        # build-side LUT contents, not part metadata.
+        self._virtual_ranges(parts, ranges)
         return ranges
+
+    # Group columns allowed to carry null keys (overridden by the join
+    # fusion for its join-key columns; see _check_parts_common).
+    _null_ok_group_cols: frozenset = frozenset()
+
+    def _virtual_ranges(self, parts, ranges) -> None:
+        """Hook: fill ``ranges`` for virtual value plans (plan.source is
+        not None). The base class has none."""
 
     def _check_parts(self, parts) -> None:
         """Common validation plus the kernel digit plan per value column.
@@ -798,6 +845,9 @@ class CompiledFilterAggregate:
         if cache is None:
             cache = self._lut_cache = {}
         leaf = self.filters[idx]
+        if leaf.op == OP_IN_LUT:
+            # The lit IS the LUT (rebuilt per execute from the build side).
+            return np.asarray(leaf.lit, dtype=np.bool_)
         key = (idx, len(leaf.dictionary))
         lut = cache.get(key)
         if lut is None:
@@ -826,7 +876,13 @@ class CompiledFilterAggregate:
         if cache is None:
             cache = self._lut_dev_cache = {}
         leaf = self.filters[idx]
-        key = (idx, len(leaf.dictionary))
+        # in_lut content changes per execute (the build side re-runs), so
+        # the device cache keys on the LUT array's identity.
+        key = (
+            (idx, id(leaf.lit))
+            if leaf.op == OP_IN_LUT
+            else (idx, len(leaf.dictionary))
+        )
         lut = cache.get(key)
         if lut is None:
             lut = jnp.asarray(self._leaf_lut_np(idx).astype(np.int32))
@@ -1236,6 +1292,7 @@ class CompiledFilterAggregate:
                 p.num_digits,
                 p.hi_digits,
                 p.fexact_top_digits if p.fexact is not None else None,
+                p.source[0] if p.source is not None else "plain",
             )
             for p in plans
         )
@@ -1324,7 +1381,17 @@ class CompiledFilterAggregate:
             for i in idxs:
                 args.extend(self._leaf_args(sp, self.filters[i], i))
         for plan in plans:
-            if plan.fexact is not None:
+            if plan.source is not None:
+                # Join-fusion virtual plane: the probe side's raw key codes
+                # plus the per-execute (bias-shifted) build-side LUT.
+                args.append(self._sp_plane(sp, "codes", plan.source[1]))
+                if plan.source[0] == "gather":
+                    args.append(plan.lut_dev)
+                else:  # ("mul", key, src): src values x match count
+                    args.append(plan.lut_dev)
+                    args.append(self._sp_plane(sp, "int64", plan.source[2]))
+                    args.append(_dev_scalar(plan.bias, jnp.int64))
+            elif plan.fexact is not None:
                 # Four host-decomposed digit planes (_sp_fplanes): TPU f64
                 # arithmetic rounds, so the decomposition cannot run on
                 # device; the cached planes upload once per part set.
@@ -1970,7 +2037,44 @@ def _build_fused_program(structure):
         # per value column: list of (plane, num_digits) kernel passes
         value_planes = []
         _fd = _digits_for(_LO_MASK)  # 28-bit digit planes
-        for need_sum, need_mm, wide, nd, hd, ftd in vps:
+
+        def wide_split(vdata, nd, hd):
+            lo = jnp.bitwise_and(vdata, jnp.int64(_LO_MASK)).astype(jnp.int32)
+            hi = (vdata >> _LO_BITS).astype(jnp.int32)
+            return [(lo, nd), (hi, hd)]
+
+        for need_sum, need_mm, wide, nd, hd, ftd, src in vps:
+            if src == "gather":
+                # Join fusion: build-side per-key-code partials gathered by
+                # the probe side's dictionary codes (bias already folded
+                # into the LUT host-side; absent codes hold 0 and are never
+                # selected).
+                cplane, lut = xs[i], xs[i + 1]
+                i += 2
+                v = jnp.take(lut, cplane, mode="clip")
+                value_planes.append(
+                    wide_split(v, nd, hd) if wide else [(v, nd)]
+                )
+                continue
+            if src == "mul":
+                # Join fusion: probe value x match count (sum over pairs of
+                # a probe-side column). Products are bounded by the plan's
+                # host-computed candidate range, so the bias shift keeps
+                # them in the digit envelope.
+                cplane, cnt, vals, bias = (
+                    xs[i],
+                    xs[i + 1],
+                    xs[i + 2],
+                    xs[i + 3],
+                )
+                i += 4
+                v = vals * jnp.take(cnt, cplane, mode="clip") - bias
+                value_planes.append(
+                    wide_split(v, nd, hd)
+                    if wide
+                    else [(v.astype(jnp.int32), nd)]
+                )
+                continue
             if ftd is not None:
                 # Exact float64 sums (floatsum.py): 3 base-2^28 digit
                 # planes + the top plane (biased non-negative), decomposed
@@ -1987,11 +2091,7 @@ def _build_fused_program(structure):
             elif wide:
                 vdata = xs[i] - xs[i + 1]  # bias shift
                 i += 2
-                lo = jnp.bitwise_and(vdata, jnp.int64(_LO_MASK)).astype(
-                    jnp.int32
-                )
-                hi = (vdata >> _LO_BITS).astype(jnp.int32)
-                value_planes.append([(lo, nd), (hi, hd)])
+                value_planes.append(wide_split(vdata, nd, hd))
             else:
                 # Pre-shifted int32 plane (_sp_value_i32).
                 value_planes.append([(xs[i], nd)])
@@ -2002,7 +2102,7 @@ def _build_fused_program(structure):
         counts = first = None
         sums: dict = {}
         passes = []
-        for vi, (need_sum, _nm, _w, _nd, _hd, _ftd) in enumerate(vps):
+        for vi, (need_sum, *_rest) in enumerate(vps):
             if need_sum:
                 for vals, digits in value_planes[vi]:
                     passes.append((vi, vals, digits))
@@ -2035,7 +2135,7 @@ def _build_fused_program(structure):
             )
 
         blob = [counts.astype(jnp.int64)]
-        for vi, (need_sum, need_mm, wide, _nd, _hd, _ftd) in enumerate(vps):
+        for vi, (need_sum, need_mm, wide, *_rest) in enumerate(vps):
             if need_sum:
                 blob.extend(s.astype(jnp.int64) for s in sums[vi])
             if not need_mm:
@@ -2255,9 +2355,13 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
                     raise NotCompilable("computed pre-projection")
             pre_sets.append((names, dyns, has_all))
         else:
-            if filt is not None:
-                raise NotCompilable("multiple filter nodes")
-            filt = node.filter.expr
+            # Stacked PredicateFilters are an AND conjunction (each
+            # operator masks independently) — combine into one CNF.
+            filt = (
+                node.filter.expr
+                if filt is None
+                else E.BinaryExpr(node.filter.expr, E.OP_AND, filt)
+            )
         node = node.input
     if node is None or node.table_scan is None:
         raise NotCompilable("input is not a plain table scan")

@@ -173,6 +173,21 @@ class LocalQueryBuilder:
                 return
             except NotCompilable as e:
                 reasons["compiled"] = str(e) or type(e).__name__
+            # Join->aggregate fusion (compiled_join.py): the groupjoin
+            # decomposition collapses Aggregate(Join(L,R)) onto the same
+            # fused kernels — pairs never materialize anywhere.
+            from ..compiled_join import lower_plan_join_agg
+
+            try:
+                out = lower_plan_join_agg(
+                    plan, self.engine.exec_options
+                ).execute()
+                self._mark_path("compiled_join", reasons, root_span)
+                if out.num_rows > 0:
+                    callback(out)
+                return
+            except NotCompilable as e:
+                reasons["compiled_join"] = str(e) or type(e).__name__
             # Dense tier: the same matched shape past the one-hot kernel's
             # envelope (large code spaces, huge min/max spans) runs as int64
             # segment reductions over the cached device parts — still

@@ -510,6 +510,10 @@ def test_dict_key_lut_cache_reused():
 
     store, db = _setup()
     engine = LocalEngine(db.table_provider())
+    # Pin the generic join path: this test exercises ITS dict-LUT cache
+    # (the compiled_join fusion tier would serve the query without ever
+    # building pair keys).
+    engine.exec_options.compiled_serving = False
     J._DICT_JOIN_LUTS.clear()
 
     def run():
