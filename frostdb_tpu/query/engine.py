@@ -219,6 +219,21 @@ class LocalQueryBuilder:
                 return
             except NotCompilable as e:
                 reasons["compiled_distinct"] = str(e) or type(e).__name__
+            # Schema-scan serving from part metadata (the Parca Labels
+            # shape): distinct column names + filters in pure host work —
+            # no device round-trip (schema_meta.py).
+            from ..schema_meta import lower_plan_schema
+
+            try:
+                out = lower_plan_schema(
+                    plan, self.engine.exec_options
+                ).execute()
+                self._mark_path("schema_meta", reasons, root_span)
+                if out.num_rows > 0:
+                    callback(out)
+                return
+            except NotCompilable as e:
+                reasons["schema_meta"] = str(e) or type(e).__name__
             # Device-resident filter->project serving (non-aggregate row
             # retrieval): the selection mask + compaction run on device
             # over the cached parts; the host materializes only selected
