@@ -215,6 +215,13 @@ class _ValuePlan:
     source: object = None
     lut: object = None
     lut_dev: object = None  # per-execute shifted device LUT
+    # unique(col): needs min/max planes (reused) + a per-group count of
+    # VALID value slots; valid = (min == max) & (validcnt == groupcount)
+    # (kernels.segment_agg AGG_UNIQUE semantics / aggregate.go:712).
+    need_unique: bool = False
+    # and(col) over a bool column: per-group min of (valid ? v : 1)
+    # (nulls are true-neutral, aggregate.go:798 AndAgg).
+    need_and: bool = False
 
 
 # lo-plane width for wide (two-plane) sums: 28 bits = 4 base-128 digits.
@@ -364,9 +371,31 @@ class CompiledFilterAggregate:
         for spec in aggs:
             func, col = spec[0], spec[1]
             result_name = spec[2] if len(spec) > 2 else f"{func}({col})"
-            if func not in (E.AGG_SUM, E.AGG_COUNT, E.AGG_MIN, E.AGG_MAX):
+            if func not in (
+                E.AGG_SUM,
+                E.AGG_COUNT,
+                E.AGG_MIN,
+                E.AGG_MAX,
+                E.AGG_UNIQUE,
+                E.AGG_AND,
+            ):
                 raise NotCompilable(f"agg {func} not in compiled set")
-            if func != E.AGG_COUNT:
+            if func == E.AGG_AND:
+                vdef = schema.column_by_name(col)
+                if vdef is not None and vdef.layout.type != "bool":
+                    raise NotCompilable("and() aggregates bool columns")
+                plan = self.value_plans.setdefault(col, _ValuePlan(col))
+                plan.need_and = True
+            elif func == E.AGG_UNIQUE:
+                vdef = schema.column_by_name(col)
+                if vdef is not None and vdef.layout.type != "int64":
+                    # float/string unique stays generic (the reference's
+                    # uniqueInt64arrays covers int64, aggregate.go:712).
+                    raise NotCompilable("unique() compiles int64 columns")
+                plan = self.value_plans.setdefault(col, _ValuePlan(col))
+                plan.need_unique = True
+                plan.need_minmax = True
+            elif func != E.AGG_COUNT:
                 vdef = schema.column_by_name(col)
                 if vdef is not None and vdef.layout.type not in (
                     "int64",
@@ -512,6 +541,12 @@ class CompiledFilterAggregate:
                 c = p.batch.column(plan.column)
                 if c is None:
                     raise NotCompilable(f"part lacks {plan.column}")
+                if plan.need_and:
+                    if c.kind != "bool":
+                        raise NotCompilable("and() aggregates bool columns")
+                    continue  # values are 0/1; no range/digit planning
+                if plan.need_unique and c.kind != KIND_INT64:
+                    raise NotCompilable("unique() compiles int64 columns")
                 if c.kind == KIND_INT64:
                     if plan.is_float:
                         raise NotCompilable("mixed int/float value column")
@@ -1293,6 +1328,8 @@ class CompiledFilterAggregate:
                 p.hi_digits,
                 p.fexact_top_digits if p.fexact is not None else None,
                 p.source[0] if p.source is not None else "plain",
+                p.need_unique,
+                p.need_and,
             )
             for p in plans
         )
@@ -1403,6 +1440,10 @@ class CompiledFilterAggregate:
                 args.append(
                     self._sp_value_i32(sp, plan.column, plan.bias)
                 )
+            if plan.need_unique or plan.need_and:
+                # validity plane: the unique() valid-slot count / the and()
+                # null-neutral fill
+                args.append(self._sp_plane(sp, "valid", plan.column))
         return args
 
     def _fused_blob(self, sp, plans, num_codes):
@@ -1766,10 +1807,18 @@ class CompiledFilterAggregate:
             except NotCompilable:
                 sp = None
         if sp is None:
-            if any(p.fexact is not None for p in plans):
-                # The per-part eager fallback has no float-decomposition
-                # planes; the dense/mesh tier (int64-native) serves it.
-                raise NotCompilable("exact float sums need the superpart path")
+            if parts and any(
+                p.fexact is not None
+                or p.source is not None
+                or p.need_unique
+                or p.need_and
+                for p in plans
+            ):
+                # The per-part eager fallback has no float-decomposition /
+                # virtual / unique / and planes; the dense/mesh tier or the
+                # generic engine serves these. (Zero visible parts need no
+                # planes at all — the empty blob below emits no groups.)
+                raise NotCompilable("plan needs the superpart path")
             for p in parts:
                 codes, sel = self._codes_sel(p, self._gplan)
                 planes_by_col = {
@@ -1789,6 +1838,12 @@ class CompiledFilterAggregate:
             for plan in plans:
                 if plan.need_sum:
                     blob_parts.extend(sums[plan.column])
+                if plan.need_unique:
+                    # only reachable with zero parts (guard above): zero
+                    # valid-slot counts keep the parse layout aligned
+                    blob_parts.append(jnp.zeros((num_codes,), jnp.int64))
+                if plan.need_and:
+                    blob_parts.append(jnp.ones((num_codes,), jnp.int64))
                 if plan.need_minmax:
                     if plan.wide:
                         # Recombine the lexicographic (hi, lo) planes into
@@ -1819,6 +1874,8 @@ class CompiledFilterAggregate:
         sums_np: dict[str, np.ndarray] = {}
         mins_np: dict[str, np.ndarray] = {}
         maxs_np: dict[str, np.ndarray] = {}
+        uniq_cnt_np: dict[str, np.ndarray] = {}
+        and_np: dict[str, np.ndarray] = {}
         for plan in plans:
             if plan.need_sum:
                 if plan.fexact is not None:
@@ -1846,6 +1903,14 @@ class CompiledFilterAggregate:
                 sums_np[plan.column] = (
                     s.astype(np.float64) if plan.is_float else s
                 )
+            if plan.need_unique:
+                uniq_cnt_np[plan.column] = blob[off : off + num_codes]
+                off += num_codes
+            if plan.need_and:
+                and_np[plan.column] = (
+                    blob[off : off + num_codes] > 0
+                ).astype(np.bool_)
+                off += num_codes
             if plan.need_minmax:
                 # Sentinels only survive for codes with no selected rows,
                 # which are never emitted; the bias shift is
@@ -1876,6 +1941,17 @@ class CompiledFilterAggregate:
                 by_name[spec.result_name] = counts_np
             elif spec.func == E.AGG_SUM:
                 by_name[spec.result_name] = sums_np[spec.column]
+            elif spec.func == E.AGG_UNIQUE:
+                mn, mx = mins_np[spec.column], maxs_np[spec.column]
+                uvalid = (mn == mx) & (
+                    uniq_cnt_np[spec.column] == counts_np
+                )
+                by_name[spec.result_name] = (
+                    np.where(uvalid, mn, 0),
+                    uvalid,
+                )
+            elif spec.func == E.AGG_AND:
+                by_name[spec.result_name] = and_np[spec.column]
             elif spec.func == E.AGG_MIN:
                 by_name[spec.result_name] = mins_np[spec.column]
             else:
@@ -2043,7 +2119,18 @@ def _build_fused_program(structure):
             hi = (vdata >> _LO_BITS).astype(jnp.int32)
             return [(lo, nd), (hi, hd)]
 
-        for need_sum, need_mm, wide, nd, hd, ftd, src in vps:
+        vvalid_planes: dict = {}  # vi -> validity plane (unique/and plans)
+        for vi0, (
+            need_sum,
+            need_mm,
+            wide,
+            nd,
+            hd,
+            ftd,
+            src,
+            uniq,
+            andf,
+        ) in enumerate(vps):
             if src == "gather":
                 # Join fusion: build-side per-key-code partials gathered by
                 # the probe side's dictionary codes (bias already folded
@@ -2096,16 +2183,23 @@ def _build_fused_program(structure):
                 # Pre-shifted int32 plane (_sp_value_i32).
                 value_planes.append([(xs[i], nd)])
                 i += 1
+            if uniq or andf:
+                vvalid_planes[vi0] = xs[i]
+                i += 1
 
         flat_codes = codes.reshape(-1)
         flat_sel = sel.reshape(-1) > 0
         counts = first = None
         sums: dict = {}
+        usums: dict = {}  # vi -> valid-slot count partials (unique)
         passes = []
         for vi, (need_sum, *_rest) in enumerate(vps):
             if need_sum:
                 for vals, digits in value_planes[vi]:
                     passes.append((vi, vals, digits))
+        for vi, vp_t in enumerate(vps):
+            if vp_t[7]:  # unique: count VALID slots per group
+                passes.append((("u", vi), vvalid_planes[vi], 1))
         if not passes:
             passes.append((None, jnp.zeros_like(codes), 1))
         for idx, (vi, vals, digits) in enumerate(passes):
@@ -2124,7 +2218,9 @@ def _build_fused_program(structure):
                 )
             if idx == 0:
                 counts, first = c, f
-            if vi is not None:
+            if isinstance(vi, tuple):
+                usums[vi[1]] = s
+            elif vi is not None:
                 sums.setdefault(vi, []).append(s)
 
         def mm(vals, sel2):
@@ -2135,9 +2231,20 @@ def _build_fused_program(structure):
             )
 
         blob = [counts.astype(jnp.int64)]
-        for vi, (need_sum, need_mm, wide, *_rest) in enumerate(vps):
+        for vi, (need_sum, need_mm, wide, *_rest, uniq, andf) in enumerate(
+            vps
+        ):
             if need_sum:
                 blob.extend(s.astype(jnp.int64) for s in sums[vi])
+            if uniq:
+                blob.append(usums[vi].astype(jnp.int64))
+            if andf:
+                # and() = per-group min of (valid ? v : 1); nulls are
+                # true-neutral (aggregate.go:798)
+                (v01,) = [v for v, _d in value_planes[vi]]
+                andp = jnp.where(vvalid_planes[vi] == 1, v01, jnp.int32(1))
+                mn, _mx = mm(andp, sel)
+                blob.append(mn.astype(jnp.int64))
             if not need_mm:
                 continue
             planes = [v for v, _d in value_planes[vi]]
@@ -2215,14 +2322,22 @@ def emit_output(
         )
 
     def agg_column(out_name, src):
-        kind = (
-            "float64" if np.issubdtype(src.dtype, np.floating) else KIND_INT64
-        )
+        validity = None
+        if isinstance(src, tuple):  # (values, validity): unique() results
+            src, validity = src
+        if src.dtype == np.bool_:
+            kind = "bool"  # and() results
+        elif np.issubdtype(src.dtype, np.floating):
+            kind = "float64"
+        else:
+            kind = KIND_INT64
         return Column(
             out_name,
             kind,
             src[order_arr] if n else src[:0],
-            np.ones(n, dtype=bool),
+            (validity[order_arr] if n else validity[:0])
+            if validity is not None
+            else np.ones(n, dtype=bool),
         )
 
     if output_projection is None:

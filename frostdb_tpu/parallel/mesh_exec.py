@@ -63,6 +63,18 @@ _SORTED_THRESHOLD = 4096
 # specialization is jax.jit's own cache; this keys the *structure*.
 _PROGRAM_CACHE: dict = {}
 
+
+def _op_width(func, fexact: bool) -> int:
+    """Number of [K] partial vectors one aggregation spec contributes:
+    exact-float sums carry 4 digit planes; unique carries (min, max,
+    valid-count); everything else (incl. count, which re-emits the shared
+    counts) carries one."""
+    if fexact:
+        return 4
+    if func == E.AGG_UNIQUE:
+        return 3
+    return 1
+
 # Shuffle-tier ceiling: K up to 2^27 combined codes aggregate via the
 # pair-exchange path with O(K/shards) per-shard tables; beyond that the
 # generic engine serves (VERDICT r3 item 6).
@@ -151,8 +163,29 @@ def _unpack_inputs(xs, gshape, clause_sigs, ops, axis, trivial):
                 vfmm.append(False)
                 i += 1
             continue
-        v, _vvalid = xs[i], xs[i + 1]
+        v, vvalid = xs[i], xs[i + 1]
         i += 2
+        if func == E.AGG_UNIQUE:
+            # unique = (min == max) & (valid-slot count == group count);
+            # three plain reductions (kernels.segment_agg AGG_UNIQUE
+            # decomposed), combined in the host epilogue.
+            vlist += [
+                v.astype(jnp.int64),
+                v.astype(jnp.int64),
+                vvalid.astype(jnp.int64),
+            ]
+            vops += [K.AGG_MIN, K.AGG_MAX, K.AGG_SUM]
+            vfmm += [False, False, False]
+            continue
+        if func == E.AGG_AND:
+            # and = per-group min of (valid ? v : 1) — nulls true-neutral
+            # (aggregate.go:798).
+            vlist.append(
+                jnp.where(vvalid, v.astype(jnp.int64), jnp.int64(1))
+            )
+            vops.append(K.AGG_MIN)
+            vfmm.append(False)
+            continue
         vlist.append(v.astype(jnp.int64))
         vops.append(func)
         vfmm.append(fmm)
@@ -401,6 +434,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     )
                     vi += 1
                     continue
+                if func == E.AGG_UNIQUE:
+                    outs.append(pmin(partials[vi], axis))
+                    outs.append(pmax(partials[vi + 1], axis))
+                    outs.append(psum(partials[vi + 2], axis))
+                    vi += 3
+                    continue
+                if func == E.AGG_AND:
+                    outs.append(pmin(partials[vi], axis))
+                    vi += 1
+                    continue
                 partial = partials[vi]
                 vi += 1
                 if func == K.AGG_SUM:
@@ -440,7 +483,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                         in_specs += [P(axis)] * 4
                     else:
                         in_specs += [P(axis), P(axis)]
-            n_out = 2 + sum(4 if f else 1 for _fn, _if, f, _m in ops)
+            n_out = 2 + sum(_op_width(fn, f) for fn, _if, f, _m in ops)
             prog = jax.jit(
                 jax.shard_map(
                     step,
@@ -585,7 +628,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         trivial = self.trivial
         n_shards = 1 if trivial else self.mesh.shape[axis]
         n_aggv = sum(
-            (4 if f else 1)
+            _op_width(fn, f)
             for fn, _if, f, _m in ops
             if fn != E.AGG_COUNT
         )
@@ -812,7 +855,9 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         k_per = ((k_per + 127) // 128) * 128
         k_pad = k_per * n_shards
         n_aggv = sum(
-            (4 if self.value_plans[s.column].fexact is not None else 1)
+            _op_width(
+                s.func, self.value_plans[s.column].fexact is not None
+            )
             for s in self.aggs
             if s.func != E.AGG_COUNT
         )
@@ -844,6 +889,10 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     continue
                 if self.value_plans[spec.column].fexact is not None:
                     agg_ops_flat += [E.AGG_SUM] * 4
+                elif spec.func == E.AGG_UNIQUE:
+                    agg_ops_flat += [E.AGG_MIN, E.AGG_MAX, E.AGG_SUM]
+                elif spec.func == E.AGG_AND:
+                    agg_ops_flat.append(E.AGG_MIN)
                 else:
                     agg_ops_flat.append(spec.func)
             for fn in agg_ops_flat:
@@ -904,6 +953,19 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 pls = [table(ti + pi, 0) for pi in range(4)]
                 ti += 4
                 by_name[name] = recombine(pls, plan.fexact)
+                continue
+            if spec.func == E.AGG_UNIQUE:
+                mn = table(ti, _BIG)
+                mx = table(ti + 1, -_BIG)
+                vc = table(ti + 2, 0)
+                ti += 3
+                uvalid = (mn == mx) & (vc == counts_np)
+                by_name[name] = (np.where(uvalid, mn, 0), uvalid)
+                continue
+            if spec.func == E.AGG_AND:
+                vals = table(ti, _BIG)
+                ti += 1
+                by_name[name] = (vals > 0).astype(np.bool_)
                 continue
             vals = table(ti, 0)
             ti += 1
@@ -1004,11 +1066,24 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                         else [a + b for a, b in zip(prev, planes)]
                     )
                     continue
+                if spec.func == E.AGG_UNIQUE:
+                    mn_p, mx_p, vc_p = outs[oi : oi + 3]
+                    oi += 3
+                    acc[name] = (
+                        [mn_p, mx_p, vc_p]
+                        if prev is None
+                        else [
+                            jnp.minimum(prev[0], mn_p),
+                            jnp.maximum(prev[1], mx_p),
+                            prev[2] + vc_p,
+                        ]
+                    )
+                    continue
                 out_p = outs[oi]
                 oi += 1
                 if spec.func in (E.AGG_SUM, E.AGG_COUNT):
                     acc[name] = out_p if prev is None else prev + out_p
-                elif spec.func == E.AGG_MIN:
+                elif spec.func in (E.AGG_MIN, E.AGG_AND):
                     acc[name] = (
                         out_p if prev is None else jnp.minimum(prev, out_p)
                     )
@@ -1048,6 +1123,19 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     pls.append(blob[off : off + num_codes])
                     off += num_codes
                 by_name[name] = recombine(pls, plan.fexact)
+                continue
+            if spec.func == E.AGG_UNIQUE:
+                mn = blob[off : off + num_codes]
+                mx = blob[off + num_codes : off + 2 * num_codes]
+                vc = blob[off + 2 * num_codes : off + 3 * num_codes]
+                off += 3 * num_codes
+                uvalid = (mn == mx) & (vc == counts_np)
+                by_name[name] = (np.where(uvalid, mn, 0), uvalid)
+                continue
+            if spec.func == E.AGG_AND:
+                vals = blob[off : off + num_codes]
+                off += num_codes
+                by_name[name] = (vals > 0).astype(np.bool_)
                 continue
             vals = blob[off : off + num_codes]
             off += num_codes

@@ -168,11 +168,11 @@ def test_fallback_reasons_surfaced():
         db.table_provider(), ExecOptions(tracer=tracer, metrics=registry)
     )
     out = []
-    # unique() aggregation is generic-only -> compiled/dense must decline
-    # with a recorded reason.
+    # a limit above the aggregation has no fast tier -> every tier must
+    # decline with a recorded reason (unique()/and() compile since r5).
     engine.scan_table("t").aggregate(
-        [E.Unique(E.Col("value"))], [E.Col("example_type")]
-    ).execute(out.append)
+        [E.Sum(E.Col("value"))], [E.Col("example_type")]
+    ).limit(E.Literal(5)).execute(out.append)
     assert out
     root = tracer.roots[0]
     assert root.attributes["path"] == "generic"
