@@ -132,9 +132,11 @@ class CompiledScan(CompiledFilterAggregate):
         physical_projection,
         filter_spec,
         filter_expr,
+        limit: int | None = None,
     ):
         import jax
 
+        self.limit = limit  # first-n truncation (limit.go:17 semantics)
         self.table = table
         self.on_tpu = jax.default_backend() == "tpu"
         self.projection_exprs = projection_exprs  # None = no Projection node
@@ -323,6 +325,12 @@ class CompiledScan(CompiledFilterAggregate):
             return
         sp = self._superpart(parts)
         idx = self._selected_rows(sp, parts)
+        if self.limit is not None:
+            # Selected positions are ascending stream order, so the first n
+            # are exactly what the generic Limiter chain emits (per-lane
+            # Limiters then the post-Synchronizer Limiter slice the ordered
+            # stream, limit.go:17) — host materialization is bounded by n.
+            idx = idx[: max(self.limit, 0)]
         if len(idx) == 0:
             return
         offsets = sp["row_offsets"]
@@ -355,9 +363,18 @@ class CompiledScan(CompiledFilterAggregate):
 
 def match_plan_scan(plan, exec_options=None) -> CompiledScan:
     """Match an optimized non-aggregate plan: TableScan <- Filter
-    [<- Projection]. Anything else (distinct, limit, sample, joins,
+    [<- Projection] [<- Limit]. Anything else (distinct, sample, joins,
     aggregations, unfiltered scans) stays on the generic engine."""
     node = plan
+    limit = None
+    if node is not None and node.limit is not None:
+        lim_e = node.limit.expr
+        if not isinstance(lim_e, E.Literal) or not isinstance(
+            lim_e.value, int
+        ):
+            raise NotCompilable("limit is not an int literal")
+        limit = int(lim_e.value)
+        node = node.input
     proj_exprs = None
     if node is not None and node.projection is not None:
         proj_exprs = list(node.projection.exprs)
@@ -419,6 +436,7 @@ def match_plan_scan(plan, exec_options=None) -> CompiledScan:
         scan.physical_projection,
         filter_spec,
         filt,
+        limit=limit,
     )
 
 
