@@ -172,6 +172,13 @@ class _GroupCol:
     kind: str = "dict"  # "dict" | "int" | "bool"
     window: int = 1  # int kind: window width in the column's units
     base: int = 0  # int kind: minimum window index (code 0)
+    # int kind, projection-computed keys: the emitted column name (the
+    # ``(col / k) * k as alias`` pre-projection binding,
+    # reference project.go:405 binaryExprProjection) and whether the
+    # division is Go-TRUNCATING (requires a provably-nonnegative range:
+    # floor == trunc only there — gated per execute in _int_group_plan).
+    out: Optional[str] = None
+    trunc: bool = False
     # bool kind: the comparison leaf whose mask IS the 2-code key (the
     # generic boolExprProjection emits dense true/false with no nulls,
     # project.go:405 — so bool keys never carry null-key semantics).
@@ -318,11 +325,16 @@ class CompiledFilterAggregate:
                 )
                 self.group_cols.append(out_name)
                 continue
+            out_name = None
+            trunc = False
             if isinstance(spec, tuple):
-                _kind, gc, window = spec
+                _kind, gc, window, *rest = spec
+                if rest:
+                    out_name = rest[0]
+                    trunc = bool(rest[1]) if len(rest) > 1 else False
             else:
                 gc, window = spec, None
-            if gc in self.group_cols:
+            if (out_name or gc) in self.group_cols:
                 # Degenerate duplicate key (e.g. timestamp AND
                 # second(timestamp)) — generic engine semantics apply.
                 raise NotCompilable(f"duplicate group column {gc}")
@@ -346,23 +358,20 @@ class CompiledFilterAggregate:
                         kind="int",
                         window=max(int(window or 1), 1),
                         k=1,
+                        out=out_name,
+                        trunc=trunc,
                     )
                 )
             else:
                 raise NotCompilable(
                     f"group column {gc} is neither dict-coded nor int64"
                 )
-            self.group_cols.append(gc)
+            self.group_cols.append(out_name or gc)
         self.group_col = self.group_cols[0]
         self.group_dicts = [g.dictionary for g in self._gplan]
         self.dictionary = next(
             (d for d in self.group_dicts if d is not None), None
         )
-        # int-kind windows are immutable plan properties; _group_remap
-        # rebuilds _GroupCols per execute, so remember them by name.
-        self._int_windows = {
-            g.name: g.window for g in self._gplan if g.kind == "int"
-        }
 
         self.aggs = []
         # Distinct value columns in first-use order; each gets its own
@@ -695,7 +704,7 @@ class CompiledFilterAggregate:
             pres = cp if pres is None else np.union1d(pres, cp)
         return pres if pres is not None else np.zeros(0, dtype=np.int64)
 
-    def _int_group_plan(self, parts, gc: str, window: int) -> _GroupCol:
+    def _int_group_plan(self, parts, gcol0: _GroupCol) -> _GroupCol:
         """Range-dense code plan for an int64 (possibly windowed) group
         column: codes are ``value // window - base`` where [base, max_win]
         is the window-index range over the visible parts' zone maps,
@@ -703,7 +712,13 @@ class CompiledFilterAggregate:
         filters the timestamp to a narrow interval of a long-lived table —
         without the clamp the raw range would blow the code-space gate).
         Rows outside the clamp are filtered out before accumulation, so
-        their (clipped) codes never land."""
+        their (clipped) codes never land. Truncating-division keys
+        (projection-computed ``(col / k) * k``) additionally require the
+        effective range to be nonnegative: Go division truncates toward
+        zero while the window code floor-divides — they agree exactly on
+        [0, inf) (the filter clamp counts: clamped-away negatives never
+        accumulate)."""
+        gc, window = gcol0.name, gcol0.window
         gmin = gmax = None
         for p in parts:
             r = p.raw_range(gc)
@@ -712,7 +727,10 @@ class CompiledFilterAggregate:
             gmin = r[0] if gmin is None else min(gmin, r[0])
             gmax = r[1] if gmax is None else max(gmax, r[1])
         if gmin is None:
-            return _GroupCol(gc, None, kind="int", window=window, k=1)
+            return _GroupCol(
+                gc, None, kind="int", window=window, k=1,
+                out=gcol0.out, trunc=gcol0.trunc,
+            )
         lo_w, hi_w = gmin // window, gmax // window
         for idxs in self.clauses:
             if len(idxs) != 1:
@@ -740,8 +758,13 @@ class CompiledFilterAggregate:
         # across a sliding time range. Codes >= the actual range never
         # accumulate, so the pad slots stay zero and are never emitted.
         k = 1 << (k - 1).bit_length()
+        if gcol0.trunc and lo_w < 0:
+            raise NotCompilable(
+                "truncating-division key over a negative range"
+            )
         return _GroupCol(
-            gc, None, kind="int", window=window, base=int(lo_w), k=k
+            gc, None, kind="int", window=window, base=int(lo_w), k=k,
+            out=gcol0.out, trunc=gcol0.trunc,
         )
 
     def _group_remap(self, parts, max_codes=None) -> tuple[list[_GroupCol], int]:
@@ -764,9 +787,7 @@ class CompiledFilterAggregate:
                 )
                 continue
             if gcol.kind == "int":
-                cols.append(
-                    self._int_group_plan(parts, gc, self._int_windows[gc])
-                )
+                cols.append(self._int_group_plan(parts, gcol))
                 continue
             if (
                 len(self.group_cols) == 1
@@ -1992,7 +2013,7 @@ class CompiledFilterAggregate:
             if gcol.kind == "bool":
                 out.append((gcol.name, None, fam, "bool"))
             elif gcol.kind == "int":
-                out.append((gcol.name, None, fam * gcol.window))
+                out.append((gcol.out or gcol.name, None, fam * gcol.window))
             else:
                 out.append((gcol.name, gcol.dictionary, fam))
         return out
@@ -2450,6 +2471,36 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
     # (checked at the end; a dropped column means the generic engine's
     # missing-column semantics apply and the plan stays generic).
     pre_sets: list[tuple[set, list, bool]] = []  # (names, dyn prefixes, all)
+    # Projection-computed group-key bindings: ``(col / k) * k as alias``
+    # (the logictest timestamp_bucket shape; reference project.go:405
+    # binaryExprProjection used as a group key). alias -> (src col, k,
+    # index of the defining pre_set).
+    bindings: dict = {}
+    filter_col_depth: list = []  # (col, #projections above the filter)
+
+    def _truncdiv(e):
+        """Return (src_col, k) when e is ``(Column / k) * k`` with matching
+        positive int literals, else None."""
+        if not (
+            isinstance(e, E.BinaryExpr)
+            and e.op == E.OP_MUL
+            and isinstance(e.right, E.Literal)
+            and isinstance(e.left, E.BinaryExpr)
+            and e.left.op == E.OP_DIV
+            and type(e.left.left) is E.Column
+            and isinstance(e.left.right, E.Literal)
+        ):
+            return None
+        k1, k2 = e.left.right.value, e.right.value
+        if (
+            not isinstance(k1, int)
+            or isinstance(k1, bool)
+            or k1 != k2
+            or k1 <= 0
+        ):
+            return None
+        return (e.left.left.column_name, k1)
+
     while node is not None and (
         node.filter is not None or node.projection is not None
     ):
@@ -2466,12 +2517,24 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
                     dyns.append(e.column_name)
                 elif isinstance(e, E.AllExpr):
                     has_all = True
+                elif isinstance(e, E.AliasExpr) and (
+                    _truncdiv(e.expr) is not None
+                ):
+                    src, kk = _truncdiv(e.expr)
+                    bindings[e.alias_name] = (src, kk, len(pre_sets))
+                    names.add(e.alias_name)
                 else:
                     raise NotCompilable("computed pre-projection")
             pre_sets.append((names, dyns, has_all))
         else:
             # Stacked PredicateFilters are an AND conjunction (each
-            # operator masks independently) — combine into one CNF.
+            # operator masks independently) — combine into one CNF. A
+            # filter reads its columns from BELOW it, so only projections
+            # DEEPER in the chain (walked after this node) can drop them —
+            # record how many sets were already walked (those sit above).
+            for c in node.filter.expr.columns_used():
+                if type(c) is E.Column:
+                    filter_col_depth.append((c.column_name, len(pre_sets)))
             filt = (
                 node.filter.expr
                 if filt is None
@@ -2481,8 +2544,8 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
     if node is None or node.table_scan is None:
         raise NotCompilable("input is not a plain table scan")
 
-    def _projected(name: str) -> bool:
-        for names, dyns, has_all in pre_sets:
+    def _projected(name: str, sets=None) -> bool:
+        for names, dyns, has_all in (pre_sets if sets is None else sets):
             if has_all or name in names:
                 continue
             if any(
@@ -2505,7 +2568,13 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
             # the generic engine matches each column once (first expr wins)
             if ge.column_name not in group_cols:
                 group_cols.append(ge.column_name)
-                group_specs.append(ge.column_name)
+                if ge.column_name in bindings:
+                    src, kk, _j = bindings[ge.column_name]
+                    group_specs.append(
+                        ("int", src, kk, ge.column_name, True)
+                    )
+                else:
+                    group_specs.append(ge.column_name)
         elif isinstance(ge, E.DurationExpr):
             # Windowed aggregation key (the Parca Range query's
             # second(timestamp), reference expr.go:1072 DurationExpr,
@@ -2638,12 +2707,24 @@ def match_plan(plan, exec_options=None) -> FastPlanSpec:
         # Coverage check for the pass-through pre-projections: every column
         # the fused query reads must survive the narrowing, else the
         # generic engine's missing-column semantics differ from reading
-        # the raw parts.
+        # the raw parts. A binding alias must survive the sets ABOVE its
+        # defining projection, and its SOURCE column the sets BELOW it
+        # (the defining projection consumes the source).
         needed = list(group_cols) + [c for _f, c, _n in aggs]
-        if filter_spec:
-            needed += [c for c, _op, _lit in filter_spec]
+        for name, d in filter_col_depth:
+            if not _projected(name, pre_sets[d:]):
+                raise NotCompilable(
+                    f"pre-projection drops {name} (generic semantics)"
+                )
         for name in needed:
-            if not _projected(name):
+            if name in bindings:
+                src, _kk, j = bindings[name]
+                ok = _projected(name, pre_sets[: j + 1]) and _projected(
+                    src, pre_sets[j + 1 :]
+                )
+            else:
+                ok = _projected(name)
+            if not ok:
                 raise NotCompilable(
                     f"pre-projection drops {name} (generic semantics)"
                 )
