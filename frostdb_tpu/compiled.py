@@ -586,14 +586,12 @@ class CompiledFilterAggregate:
             if plan.column not in float_nonintegral:
                 continue
             if plan.need_minmax:
-                ok = all(
-                    p.float_minmax_meta(plan.column) == (True, False)
-                    for p in parts
-                )
-                if not ok:
-                    raise NotCompilable(
-                        "non-finite or negative-zero float min/max"
-                    )
+                # The monotone-int64 ordering key (k = bits ^ ((bits >> 63)
+                # & 0x7FF..F)) is the SAME transform the generic engine
+                # reduces with (physical._float_ord_encode), so IEEE total
+                # order — incl. -0.0 < +0.0, inf, and NaN-largest — agrees
+                # byte-for-byte on every tier; no gate needed (VERDICT r4
+                # item 5).
                 plan.fmm = True
             if not plan.need_sum:
                 continue
@@ -631,6 +629,21 @@ class CompiledFilterAggregate:
                 # Past this bound a float64 sum can round while the int64
                 # sum stays exact — the paths could disagree; generic.
                 raise NotCompilable("float sum magnitude bound exceeds 2^53")
+        # Integral float columns ride the int path, which collapses -0.0
+        # to +0.0 — but the generic total order emits -0.0 as the minimum
+        # of the (-0.0, +0.0) pair. Escalate -0.0-bearing columns' min/max
+        # to the ordering-key path (dense/mesh serve it; found by a
+        # round-5 parity probe, the round-4 lesson generalized).
+        for plan in self.value_plans.values():
+            if (
+                plan.is_float
+                and plan.need_minmax
+                and not plan.fmm
+                and any(
+                    p.float_minmax_meta(plan.column)[1] for p in parts
+                )
+            ):
+                plan.fmm = True
         # Virtual value planes (join fusion) derive their ranges from the
         # build-side LUT contents, not part metadata.
         self._virtual_ranges(parts, ranges)

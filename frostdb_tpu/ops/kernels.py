@@ -209,9 +209,16 @@ def group_ids(key_vals, key_valid, sel):
 
 
 def ident_like(v):
+    """Min-reduce identity that can NEVER clamp a real value: group_ids
+    routes unselected/padding rows into the LAST segment, so segment_agg's
+    identities compete inside real groups — a +-2^62 identity silently
+    clamped min/max results whose values (or float ordering keys: any
+    |x| >= 2.0 maps past 2^62) exceeded it (round-5 parity probe). The
+    int64 extremes are exact even on collision: min's identity INT64_MAX
+    only ties a true INT64_MAX value."""
     if jnp.issubdtype(v.dtype, jnp.floating):
         return jnp.array(jnp.inf, dtype=v.dtype)
-    return _INT64_BIG.astype(v.dtype)
+    return jnp.int64(2**63 - 1).astype(v.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("op",))
@@ -242,7 +249,12 @@ def segment_agg(vals, valid, perm, sel_sorted, seg, order, op: str):
         )
         valid_out = jnp.ones(n, dtype=jnp.bool_)
     elif op == AGG_MAX:
-        ident = -ident_like(v_s)
+        # exact max identity: -inf / INT64_MIN (a negated min-identity
+        # -(2^63-1) would clamp an all-INT64_MIN group by one)
+        if jnp.issubdtype(v_s.dtype, jnp.floating):
+            ident = jnp.array(-jnp.inf, dtype=v_s.dtype)
+        else:
+            ident = jnp.int64(-(2**63)).astype(v_s.dtype)
         out = jax.ops.segment_max(
             jnp.where(sel_sorted, v_s, ident), seg, num_segments=n
         )
@@ -251,9 +263,18 @@ def segment_agg(vals, valid, perm, sel_sorted, seg, order, op: str):
         # Value if the group holds exactly one distinct non-null value and no
         # nulls; else null (aggregate.go:712 uniqueInt64arrays).
         r = _as_sort_key(v_s)
-        big = _INT64_BIG
-        mn = jax.ops.segment_min(jnp.where(sel_sorted, r, big), seg, num_segments=n)
-        mx = jax.ops.segment_max(jnp.where(sel_sorted, r, -big), seg, num_segments=n)
+        # int64-extreme identities (exact on collision; +-2^62 could clamp
+        # full-range sort keys — see ident_like)
+        mn = jax.ops.segment_min(
+            jnp.where(sel_sorted, r, jnp.int64(2**63 - 1)),
+            seg,
+            num_segments=n,
+        )
+        mx = jax.ops.segment_max(
+            jnp.where(sel_sorted, r, jnp.int64(-(2**63))),
+            seg,
+            num_segments=n,
+        )
         has_null = (
             jax.ops.segment_max(
                 jnp.where(sel_sorted & ~va_s, jnp.int32(1), jnp.int32(0)),

@@ -676,7 +676,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 jnp.where(valid_row, rows_s, _BIG), seg, num_segments=m
             )
             ppart = []
-            for v, func in zip(vlist, vops):
+            _I64MAX = jnp.int64(2**63 - 1)
+            _I64MIN = jnp.int64(-(2**63))
+            for v, func, fmm2 in zip(vlist, vops, vfmm):
+                # fmm (monotone float ordering keys) span the FULL int64
+                # range, so their reduce identities must be the int64
+                # extremes — +-2^62 would clobber large-magnitude keys.
+                # (The only colliding bit patterns are all-ones-mantissa
+                # NaNs, which decode back to those same NaNs.)
+                imin = _I64MAX if fmm2 else _BIG
+                imax = _I64MIN if fmm2 else -_BIG
                 v_s = jnp.take(v, order)
                 if func == K.AGG_SUM:
                     ppart.append(
@@ -689,7 +698,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 elif func == K.AGG_MIN:
                     ppart.append(
                         jax.ops.segment_min(
-                            jnp.where(valid_row, v_s, _BIG),
+                            jnp.where(valid_row, v_s, imin),
                             seg,
                             num_segments=m,
                         )
@@ -697,7 +706,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 else:
                     ppart.append(
                         jax.ops.segment_max(
-                            jnp.where(valid_row, v_s, -_BIG),
+                            jnp.where(valid_row, v_s, imax),
                             seg,
                             num_segments=m,
                         )
@@ -779,7 +788,7 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 jnp.where(r_valid, r_cols[2], _BIG), mode="drop"
             )
             out_tabs = [counts_tab, first_tab]
-            for vi, func in enumerate(vops):
+            for vi, (func, fmm2) in enumerate(zip(vops, vfmm)):
                 t = tabs[2 + vi]
                 rv2 = r_cols[3 + vi]
                 if func == K.AGG_SUM:
@@ -788,11 +797,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                     )
                 elif func == K.AGG_MIN:
                     t = t.at[slot].min(
-                        jnp.where(r_valid, rv2, _BIG), mode="drop"
+                        jnp.where(r_valid, rv2, _I64MAX if fmm2 else _BIG),
+                        mode="drop",
                     )
                 else:
                     t = t.at[slot].max(
-                        jnp.where(r_valid, rv2, -_BIG), mode="drop"
+                        jnp.where(r_valid, rv2, _I64MIN if fmm2 else -_BIG),
+                        mode="drop",
                     )
                 out_tabs.append(t)
             over_out = jnp.maximum(over_in, overflow)
@@ -842,10 +853,6 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         return prog
 
     def _execute_shuffle(self, parts, num_codes: int):
-        if any(p.fmm for p in self.value_plans.values()):
-            # pair partials reduce with +-2^62 identities that monotone
-            # float keys can exceed; generic serves these.
-            raise NotCompilable("float min/max past the shuffle tier")
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -882,24 +889,36 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 put(np.zeros(k_pad, np.int64)),  # counts
                 put(np.full(k_pad, _BIG, np.int64)),  # first
             ]
-            # per-agg tables with op-appropriate identities
-            agg_ops_flat = []
+            # per-agg tables with op-appropriate identities (fmm ordering
+            # keys span full int64 -> int64-extreme identities)
+            agg_ops_flat = []  # (op, fmm)
             for spec in self.aggs:
                 if spec.func == E.AGG_COUNT:
                     continue
-                if self.value_plans[spec.column].fexact is not None:
-                    agg_ops_flat += [E.AGG_SUM] * 4
+                plan2 = self.value_plans[spec.column]
+                if plan2.fexact is not None:
+                    agg_ops_flat += [(E.AGG_SUM, False)] * 4
                 elif spec.func == E.AGG_UNIQUE:
-                    agg_ops_flat += [E.AGG_MIN, E.AGG_MAX, E.AGG_SUM]
+                    agg_ops_flat += [
+                        (E.AGG_MIN, False),
+                        (E.AGG_MAX, False),
+                        (E.AGG_SUM, False),
+                    ]
                 elif spec.func == E.AGG_AND:
-                    agg_ops_flat.append(E.AGG_MIN)
+                    agg_ops_flat.append((E.AGG_MIN, False))
                 else:
-                    agg_ops_flat.append(spec.func)
-            for fn in agg_ops_flat:
+                    agg_ops_flat.append((spec.func, plan2.fmm))
+            _I64MAX = 2**63 - 1
+            _I64MIN = -(2**63)
+            for fn, fmm2 in agg_ops_flat:
                 if fn == E.AGG_MIN:
-                    tabs.append(put(np.full(k_pad, _BIG, np.int64)))
+                    tabs.append(
+                        put(np.full(k_pad, _I64MAX if fmm2 else _BIG, np.int64))
+                    )
                 elif fn == E.AGG_MAX:
-                    tabs.append(put(np.full(k_pad, -_BIG, np.int64)))
+                    tabs.append(
+                        put(np.full(k_pad, _I64MIN if fmm2 else -_BIG, np.int64))
+                    )
                 else:
                     tabs.append(put(np.zeros(k_pad, np.int64)))
             over = jnp.int32(0)
@@ -969,6 +988,12 @@ class MeshFilterAggregate(CompiledFilterAggregate):
                 continue
             vals = table(ti, 0)
             ti += 1
+            if spec.func in (E.AGG_MIN, E.AGG_MAX) and plan.fmm:
+                # invert the monotone transform, reinterpret as float64
+                k2 = vals.astype(np.int64)
+                b = k2 ^ ((k2 >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+                by_name[name] = b.view(np.float64)
+                continue
             if plan.is_float:
                 vals = vals.astype(np.float64)
             by_name[name] = vals

@@ -347,12 +347,16 @@ def test_float_minmax_huge_magnitudes():
     assert fast == slow == (-1e300, 1e300)
 
 
-def test_float_minmax_negzero_falls_generic():
+def test_float_minmax_negzero_serves_dense():
+    # -0.0 columns serve the ordering-key tiers since round 5 (the total
+    # order matches the generic engine's _float_ord_encode exactly).
     vpp = [[-0.0, 1.5, 2.5]]
     gpp = [["a", "a", "a"]]
     _s, db, _t = _mkmm(vpp, gpp)
+    slow, _ = _minmax(db)
     fast, path = _minmax(db, compiled=True)
-    assert path == "generic"
+    assert path == "dense", path
+    assert fast == slow
 
 
 def test_float_minmax_sorted_path_large_k():
