@@ -134,6 +134,8 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
             )
             plan._jkind = v
         self._cnt: np.ndarray | None = None
+        if exec_options is not None:
+            self.allocator = exec_options.allocator
 
     # ------------------------------------------------------------------
     # Build side -> LUTs

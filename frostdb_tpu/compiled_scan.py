@@ -325,6 +325,9 @@ class CompiledScan(CompiledFilterAggregate):
             return
         sp = self._superpart(parts)
         idx = self._selected_rows(sp, parts)
+        if self.allocator is not None:
+            # selected-position transient (query/memory.go:17)
+            self.allocator.allocate(int(idx.nbytes))
         if self.limit is not None:
             # Selected positions are ascending stream order, so the first n
             # are exactly what the generic Limiter chain emits (per-lane
@@ -358,7 +361,22 @@ class CompiledScan(CompiledFilterAggregate):
                         seen.add(c.name)
                         cols.append(c)
                 batch = ColumnBatch(cols, batch.num_rows)
+            if self.allocator is not None:
+                # transient flow accounting, like PredicateFilter: charged
+                # while the materialized batch is in flight
+                nbytes = sum(
+                    c.values.nbytes + c.validity.nbytes
+                    for c in batch.columns
+                )
+                self.allocator.allocate(nbytes)
+                try:
+                    callback(batch)
+                finally:
+                    self.allocator.free(nbytes)
+                continue
             callback(batch)
+        if self.allocator is not None:
+            self.allocator.free(int(idx.nbytes))
 
 
 def match_plan_scan(plan, exec_options=None) -> CompiledScan:
@@ -441,4 +459,7 @@ def match_plan_scan(plan, exec_options=None) -> CompiledScan:
 
 
 def lower_plan_scan(plan, exec_options=None) -> CompiledScan:
-    return match_plan_scan(plan, exec_options)
+    obj = match_plan_scan(plan, exec_options)
+    if exec_options is not None:
+        obj.allocator = exec_options.allocator
+    return obj

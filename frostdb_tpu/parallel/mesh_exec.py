@@ -942,6 +942,8 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             oversub *= 2.0
         else:
             raise NotCompilable("shuffle-tier pair exchange overflow")
+        if self.allocator is not None:
+            self.allocator.allocate(int(blob.nbytes))
 
         # host assembly: global slot g on shard j = g // k_per holds code
         # (g % k_per) * n_shards + j
@@ -1001,13 +1003,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         present = np.nonzero(counts_np > 0)[0]
         order_arr = present[np.argsort(first_np[present], kind="stable")]
         order_arr = self._ordered_sort(order_arr.astype(np.int64))
-        return emit_output(
+        out = emit_output(
             self._emitted_group_cols(order_arr),
             order_arr,
             [spec.result_name for spec in self.aggs],
             by_name,
             self.output_projection,
         )
+        if self.allocator is not None:
+            self.allocator.free(int(blob.nbytes))
+        return out
 
     def _execute(self):
         import jax.numpy as jnp
@@ -1125,6 +1130,9 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             a = acc[n]
             blob_entries.extend(a if isinstance(a, list) else [a])
         blob = np.asarray(jnp.concatenate(blob_entries))
+        if self.allocator is not None:
+            # per-query transient accounting (query/memory.go:17)
+            self.allocator.allocate(int(blob.nbytes))
         counts_np = blob[:num_codes]
         first_np = blob[num_codes : 2 * num_codes]
         by_name: dict[str, np.ndarray] = {}
@@ -1185,13 +1193,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         order_arr = present[np.argsort(first_np[present], kind="stable")]
         order_arr = self._ordered_sort(order_arr.astype(np.int64))
 
-        return emit_output(
+        out = emit_output(
             self._emitted_group_cols(order_arr),
             order_arr,
             result_names,
             by_name,
             self.output_projection,
         )
+        if self.allocator is not None:
+            self.allocator.free(int(blob.nbytes))
+        return out
 
 
 def lower_plan_mesh(plan, exec_options) -> MeshFilterAggregate:
@@ -1200,9 +1211,11 @@ def lower_plan_mesh(plan, exec_options) -> MeshFilterAggregate:
     from ..compiled import match_plan
 
     spec = match_plan(plan, exec_options)
-    return MeshFilterAggregate(
+    obj = MeshFilterAggregate(
         spec, exec_options.mesh, exec_options.mesh_axis
     )
+    obj.allocator = exec_options.allocator
+    return obj
 
 
 # ---------------------------------------------------------------------------
@@ -1244,4 +1257,7 @@ def lower_plan_dense(plan, exec_options) -> DenseLocalAggregate:
     segment reductions on the default device."""
     from ..compiled import match_plan
 
-    return DenseLocalAggregate(match_plan(plan, exec_options))
+    obj = DenseLocalAggregate(match_plan(plan, exec_options))
+    if exec_options is not None:
+        obj.allocator = exec_options.allocator
+    return obj

@@ -253,7 +253,12 @@ def test_query_memory_limit():
     table = db.table("t", TableConfig(schema=sample_definition()))
     table.insert_record(_make_batch(table, n=100))
 
+    # Pin the generic path: its accounting accumulates input batch bytes
+    # (the fast tiers account only their tiny per-query transients and can
+    # legitimately serve this query under 64 bytes — see
+    # tests/test_memlimit_fast_tiers.py for their raise/succeed contract).
     tiny = LocalEngine(db.table_provider(), allocator=LimitAllocator(64))
+    tiny.exec_options.compiled_serving = False
     with pytest.raises(MemoryLimitExceeded):
         tiny.scan_table("t").aggregate(
             [E.Sum(E.Col("value"))], [E.Col("example_type")]
