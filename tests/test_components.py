@@ -427,3 +427,39 @@ def test_filter_plan_validation():
     assert run(E.Col("timestamp").gt_eq(1))
     assert run(E.Col("labels.anything").eq("x")) is not None
     assert run(E.Col("example_type").not_eq(None))
+
+
+def test_dbtool_row_and_find(tmp_path, capsys):
+    """reference: cmd/parquet-tool/cmd/{row,find}.go — row-group-resolving
+    row dumps and stat-pruned value search."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frostdb_tpu.schema import sample_definition
+    from frostdb_tpu.tools.dbtool import main as dbtool_main
+    from tests.test_db import _make_batch
+
+    store = ColumnStore()
+    db = store.db("x")
+    table = db.table("t", TableConfig(schema=sample_definition()))
+    b = _make_batch(table)
+    src = os.path.join(str(tmp_path), "f.parquet")
+    pq.write_table(
+        pa.Table.from_batches([b.to_arrow()]), src, row_group_size=2
+    )
+
+    dbtool_main(["parquet-row", "1", "2", src])
+    out = capsys.readouterr().out
+    assert out.startswith("row 1:") and "row 2:" in out
+
+    ts = int(b.column("timestamp").values[0])
+    dbtool_main(["parquet-find", f"timestamp={ts}", src])
+    out = capsys.readouterr().out
+    assert "matched" in out and "row 0:" in out
+
+    # directory walk + no-match path
+    dbtool_main(["parquet-find", "timestamp=999999999", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "matched 0 rows" in out
