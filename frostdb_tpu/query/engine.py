@@ -75,6 +75,11 @@ class LocalQueryBuilder:
     def limit(self, expr: E.Expr) -> "LocalQueryBuilder":
         return LocalQueryBuilder(self.engine, self.builder.limit(expr))
 
+    def order_by(self, *keys) -> "LocalQueryBuilder":
+        """Sorted emission (north-star SQL surface): keys are column names
+        or (name, "asc"|"desc") pairs; stable, nulls last."""
+        return LocalQueryBuilder(self.engine, self.builder.order_by(*keys))
+
     def sample(self, size: E.Expr, limit: E.Expr) -> "LocalQueryBuilder":
         return LocalQueryBuilder(self.engine, self.builder.sample(size, limit))
 
@@ -131,6 +136,38 @@ class LocalQueryBuilder:
         with _span("plan/optimize"):
             plan = self._optimized_plan()
         reasons: dict[str, str] = {}
+        # ORDER BY / LIMIT epilogues above an aggregation/distinct (or an
+        # ORDER BY anywhere) peel off before tier matching: the generic
+        # Sorter/Limiter operate on the tiers' single collected output
+        # exactly as they would on the operator DAG's, so every fast tier
+        # serves the inner plan and the epilogue applies host-side.
+        inner, post_order, post_limit = _peel_epilogue(plan)
+
+        def emit(batches) -> None:
+            if post_order is None and post_limit is None:
+                for b in batches:
+                    if b.num_rows > 0:
+                        callback(b)
+                return
+            from .physical import unify_concat
+
+            batches = [b for b in batches if b.num_rows > 0]
+            if not batches:
+                return
+            batch = unify_concat(batches)
+            if post_order is not None and batch.num_rows:
+                from ..schema import SortingColumnDef
+
+                batch = batch.sort_by(
+                    [
+                        (n, SortingColumnDef(n, d, False))
+                        for n, d in post_order
+                    ]
+                )
+            if post_limit is not None and batch.num_rows > post_limit:
+                batch = batch.slice(0, post_limit)
+            if batch.num_rows > 0:
+                callback(batch)
         if self.engine.exec_options.mesh is not None:
             # Distributed serving: the same query lowered as one SPMD
             # program over the mesh (parallel/mesh_exec.py). Results are
@@ -141,11 +178,10 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan_mesh(
-                    plan, self.engine.exec_options
+                    inner, self.engine.exec_options
                 ).execute()
                 self._mark_path("mesh", reasons, root_span)
-                if out.num_rows > 0:
-                    callback(out)
+                emit([out])
                 return
             except NotCompilable as e:
                 reasons["mesh"] = str(e) or type(e).__name__
@@ -162,10 +198,9 @@ class LocalQueryBuilder:
             from ..compiled import NotCompilable, lower_plan
 
             try:
-                out = lower_plan(plan, self.engine.exec_options).execute()
+                out = lower_plan(inner, self.engine.exec_options).execute()
                 self._mark_path("compiled", reasons, root_span)
-                if out.num_rows > 0:
-                    callback(out)
+                emit([out])
                 return
             except NotCompilable as e:
                 reasons["compiled"] = str(e) or type(e).__name__
@@ -176,11 +211,10 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan_join_agg(
-                    plan, self.engine.exec_options
+                    inner, self.engine.exec_options
                 ).execute()
                 self._mark_path("compiled_join", reasons, root_span)
-                if out.num_rows > 0:
-                    callback(out)
+                emit([out])
                 return
             except NotCompilable as e:
                 reasons["compiled_join"] = str(e) or type(e).__name__
@@ -192,10 +226,11 @@ class LocalQueryBuilder:
             from ..parallel.mesh_exec import lower_plan_dense
 
             try:
-                out = lower_plan_dense(plan, self.engine.exec_options).execute()
+                out = lower_plan_dense(
+                    inner, self.engine.exec_options
+                ).execute()
                 self._mark_path("dense", reasons, root_span)
-                if out.num_rows > 0:
-                    callback(out)
+                emit([out])
                 return
             except NotCompilable as e:
                 reasons["dense"] = str(e) or type(e).__name__
@@ -207,11 +242,10 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan_distinct(
-                    plan, self.engine.exec_options
+                    inner, self.engine.exec_options
                 ).execute()
                 self._mark_path("compiled_distinct", reasons, root_span)
-                if out.num_rows > 0:
-                    callback(out)
+                emit([out])
                 return
             except NotCompilable as e:
                 reasons["compiled_distinct"] = str(e) or type(e).__name__
@@ -222,11 +256,10 @@ class LocalQueryBuilder:
 
             try:
                 out = lower_plan_schema(
-                    plan, self.engine.exec_options
+                    inner, self.engine.exec_options
                 ).execute()
                 self._mark_path("schema_meta", reasons, root_span)
-                if out.num_rows > 0:
-                    callback(out)
+                emit([out])
                 return
             except NotCompilable as e:
                 reasons["schema_meta"] = str(e) or type(e).__name__
@@ -237,8 +270,13 @@ class LocalQueryBuilder:
             from ..compiled_scan import lower_plan_scan
 
             try:
-                prog = lower_plan_scan(plan, self.engine.exec_options)
-                prog.execute_into(callback)
+                prog = lower_plan_scan(inner, self.engine.exec_options)
+                if post_order is None and post_limit is None:
+                    prog.execute_into(callback)
+                else:
+                    outs: list = []
+                    prog.execute_into(outs.append)
+                    emit(outs)
                 self._mark_path("compiled_scan", reasons, root_span)
                 return
             except NotCompilable as e:
@@ -256,3 +294,43 @@ class LocalQueryBuilder:
     def explain(self) -> str:
         output = self._build_physical()
         return output.draw_string()
+
+
+def _peel_epilogue(plan):
+    """Split root [Limit] <- [OrderBy] epilogue nodes off a plan when a
+    tier-servable core (aggregation/distinct) or an OrderBy sits below:
+    the tiers serve the core and the engine applies the epilogue to their
+    single collected output — byte-identical to the generic Sorter/Limiter
+    operating on the same stream. A Limit directly over a scan is NOT
+    peeled (compiled_scan's own limit handling truncates device-side)."""
+    from . import expr as E
+
+    def has_blocking(n) -> bool:
+        while n is not None:
+            if n.aggregation is not None or n.distinct is not None:
+                return True
+            n = n.input
+        return False
+
+    node = plan
+    post_limit = None
+    post_order = None
+    if (
+        node is not None
+        and node.limit is not None
+        and node.input is not None
+        and isinstance(node.limit.expr, E.Literal)
+        and isinstance(node.limit.expr.value, int)
+        and not isinstance(node.limit.expr.value, bool)
+        and (
+            node.input.order_by is not None or has_blocking(node.input)
+        )
+    ):
+        post_limit = int(node.limit.expr.value)
+        node = node.input
+    if node is not None and node.order_by is not None:
+        post_order = list(node.order_by.keys)
+        node = node.input
+    if post_limit is None and post_order is None:
+        return plan, None, None
+    return node, post_order, post_limit

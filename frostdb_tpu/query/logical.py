@@ -83,6 +83,18 @@ JOIN_MODES = ("inner", "left_outer", "semi", "anti")
 
 
 @dataclass
+class OrderBy:
+    """Sorted emission of the output stream (north-star SQL surface; the
+    reference's sqlparse has no ORDER BY — verified by grep — but its sort
+    machinery exists as pqarrow/arrowutils/sort.go SortRecord, which this
+    node's physical Sorter mirrors). ``keys`` is a list of
+    (column_name, direction) with direction "asc" | "desc"; ties keep
+    stream order (stable sort), nulls sort last."""
+
+    keys: list  # [(name, "asc"|"desc"), ...]
+
+
+@dataclass
 class Limit:
     expr: E.Expr  # literal row count
 
@@ -107,6 +119,7 @@ class LogicalPlan:
         self.limit: Optional[Limit] = kwargs.get("limit")
         self.sample: Optional[Sample] = kwargs.get("sample")
         self.join: Optional[Join] = kwargs.get("join")
+        self.order_by: Optional[OrderBy] = kwargs.get("order_by")
 
     def accept_post(self, fn) -> bool:
         """Post-order traversal (reference: PostPlanVisitorFunc)."""
@@ -232,6 +245,23 @@ class Builder:
 
     def limit(self, expr: E.Expr) -> "Builder":
         return self._next(limit=Limit(expr))
+
+    def order_by(self, *keys) -> "Builder":
+        """Sorted emission: each key is a column name (ascending) or a
+        (name, "asc"|"desc") pair."""
+        norm = []
+        for k in keys:
+            if isinstance(k, str):
+                norm.append((k, "asc"))
+            else:
+                name, direction = k
+                if direction not in ("asc", "desc"):
+                    return Builder(
+                        self.plan,
+                        ValueError(f"order_by direction {direction!r}"),
+                    )
+                norm.append((name, direction))
+        return self._next(order_by=OrderBy(norm))
 
     def sample(self, expr: E.Expr, limit: E.Expr) -> "Builder":
         return self._next(sample=Sample(expr, limit))

@@ -1050,6 +1050,54 @@ class HashJoin(PhysicalOperator):
 # Limit
 
 
+class Sorter(PhysicalOperator):
+    """ORDER BY: accumulate the stream, emit one batch sorted by the key
+    list (stable — ties keep stream order; nulls last). Mirrors the
+    reference's record sort (pqarrow/arrowutils/sort.go SortRecord) as an
+    operator; the reference exposes no ORDER BY surface."""
+
+    def __init__(self, keys, allocator=None):
+        super().__init__()
+        self.keys = list(keys)  # [(name, "asc"|"desc")]
+        self.allocator = allocator
+        self._allocated = 0
+        self._batches: list[ColumnBatch] = []
+
+    def callback(self, batch: ColumnBatch) -> None:
+        if self.allocator is not None:
+            nbytes = _batch_bytes(batch)
+            self.allocator.allocate(nbytes)
+            self._allocated += nbytes
+        self._batches.append(batch)
+
+    def finish(self) -> None:
+        out = None
+        if self._batches:
+            batch = unify_concat(self._batches)
+            self._batches = []
+            if batch.num_rows:
+                from ..schema import SortingColumnDef
+
+                sorting = [
+                    (name, SortingColumnDef(name, direction, False))
+                    for name, direction in self.keys
+                ]
+                out = batch.sort_by(sorting)
+        if self.allocator is not None and self._allocated:
+            self.allocator.free(self._allocated)
+            self._allocated = 0
+        if out is not None and out.num_rows > 0:
+            self.next.callback(out)
+        self.next.finish()
+
+    def draw(self) -> Diagram:
+        child = self.next.draw() if self.next is not None else None
+        ks = ",".join(
+            n if d == "asc" else f"{n} desc" for n, d in self.keys
+        )
+        return Diagram(f"OrderBy ({ks})", child)
+
+
 class Limiter(PhysicalOperator):
     """reference: query/physicalplan/limit.go."""
 
@@ -1341,6 +1389,18 @@ def build_physical(plan: LogicalPlan, options: ExecOptions | None = None) -> Out
                 d = Distinction(node.distinct.exprs, opts.allocator)
                 sync.set_next(d)
                 prev = [d]
+        elif node.order_by is not None:
+            ordering_ok = False
+            sync = Synchronizer(len(prev)) if len(prev) > 1 else None
+            if sync is not None:
+                for i in range(len(prev)):
+                    prev[i].set_next(sync.lane(i))
+            s = Sorter(node.order_by.keys, opts.allocator)
+            if sync is not None:
+                sync.set_next(s)
+            else:
+                prev[0].set_next(s)
+            prev = [s]
         elif node.limit is not None:
             limit = int(_lit_value(node.limit.expr))
             sync = Synchronizer(len(prev)) if len(prev) > 1 else None

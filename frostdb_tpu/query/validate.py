@@ -35,6 +35,7 @@ def _validate_node(node: LogicalPlan) -> None:
             node.limit,
             node.sample,
             node.join,
+            node.order_by,
         )
         if f is not None
     ]

@@ -6,6 +6,13 @@ regexp / like, GROUP BY, LIMIT, DISTINCT(...), EXPLAIN, aggregate functions,
 second(), convert()). Plan construction replicates the reference visitor's
 pre/post-projection split around aggregations (visitor.go:57-155) so the
 resulting plans — and their explain strings — are identical.
+
+North-star surface beyond the reference (whose sqlparse has no FROM/JOIN/
+ORDER BY/IN — verified by grep): FROM <table>, [INNER|LEFT [OUTER]|SEMI|
+ANTI] JOIN <table> ON <col> [= <col>] / USING(<col>) lowered onto the
+engine's join (and the round-5 groupjoin fusion), IN (...) value lists
+lowered to OR/AND CNF (fast-tier friendly), and ORDER BY col [ASC|DESC]
+via the Sorter operator.
 """
 
 from __future__ import annotations
@@ -148,6 +155,50 @@ class _Parser:
             while self.accept_op(","):
                 fields.append(self.parse_field())
 
+        from_table = None
+        join_spec = None  # (how, table, key)
+        if self.accept_kw("from"):
+            t = self.next()
+            if t[0] != "ident":
+                raise SQLParseError(f"expected table name, got {t}")
+            from_table = t[1]
+            how = None
+            if self.accept_kw("inner"):
+                how = "inner"
+            elif self.accept_kw("left"):
+                self.accept_kw("outer")
+                how = "left_outer"
+            elif self.accept_kw("semi"):
+                how = "semi"
+            elif self.accept_kw("anti"):
+                how = "anti"
+            if self.accept_kw("join"):
+                how = how or "inner"
+                t2 = self.next()
+                if t2[0] != "ident":
+                    raise SQLParseError(f"expected join table, got {t2}")
+                if self.accept_kw("using"):
+                    self.expect_op("(")
+                    kt = self.next()
+                    self.expect_op(")")
+                    key = kt[1]
+                elif self.accept_kw("on"):
+                    kt = self.next()
+                    if kt[0] != "ident":
+                        raise SQLParseError(f"expected join key, got {kt}")
+                    key = kt[1]
+                    if self.accept_op("="):
+                        kt2 = self.next()
+                        if kt2[1] != key:
+                            raise SQLParseError(
+                                "join keys must be the same column name"
+                            )
+                else:
+                    raise SQLParseError("join needs ON <col> or USING(<col>)")
+                join_spec = (how, t2[1], key)
+            elif how is not None:
+                raise SQLParseError("expected 'join'")
+
         where_expr = None
         if self.accept_kw("where"):
             where_expr = self.parse_or()
@@ -166,6 +217,23 @@ class _Parser:
                 while self.accept_op(","):
                     group_by.append(self.parse_expr())
 
+        order_keys: Optional[list] = None
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            order_keys = []
+            while True:
+                t = self.next()
+                if t[0] != "ident":
+                    raise SQLParseError(f"expected order column, got {t}")
+                direction = "asc"
+                if self.accept_kw("desc"):
+                    direction = "desc"
+                else:
+                    self.accept_kw("asc")
+                order_keys.append((t[1], direction))
+                if self.accept_op(",") is None:
+                    break
+
         limit: Optional[int] = None
         if self.accept_kw("limit"):
             t = self.next()
@@ -177,9 +245,20 @@ class _Parser:
             raise SQLParseError(f"unexpected trailing tokens: {self.peek()}")
 
         # -- plan construction (visitor.go:44-160 Enter) -------------------
+        if from_table is not None:
+            engine = getattr(builder, "engine", None)
+            if engine is None:
+                raise SQLParseError("FROM requires an engine-bound builder")
+            builder = engine.scan_table(from_table)
+            if join_spec is not None:
+                how, right_name, key = join_spec
+                builder = builder.join(
+                    engine.scan_table(right_name), on=[key], how=how
+                )
         if where_expr is not None:
             builder = builder.filter(where_expr)
 
+        no_preproject = from_table is not None and join_spec is not None
         if group_by is not None:
             pre: list[E.Expr] = []
             post: list[E.Expr] = []
@@ -214,19 +293,30 @@ class _Parser:
             for g in group_by:
                 if not any(g.name() == p.name() for p in pre):
                     pre.append(g)
-            builder = builder.project(*pre)
+            if not no_preproject:
+                # joined queries skip the pre-projection: it would apply
+                # ABOVE the join and drop build-side columns the
+                # aggregation reads
+                builder = builder.project(*pre)
             builder = builder.aggregate(aggs, group_by)
             builder = builder.project(*post)
+            if order_keys is not None:
+                builder = builder.order_by(*order_keys)
             if limit is not None:
                 builder = builder.limit(E.Literal(limit))
-        elif limit is not None:
-            builder = builder.project(*fields)
-            builder = builder.limit(E.Literal(limit))
         elif distinct:
             builder = builder.project(*fields)
             builder = builder.distinct(*fields)
+            if order_keys is not None:
+                builder = builder.order_by(*order_keys)
+            if limit is not None:
+                builder = builder.limit(E.Literal(limit))
         else:
             builder = builder.project(*fields)
+            if order_keys is not None:
+                builder = builder.order_by(*order_keys)
+            if limit is not None:
+                builder = builder.limit(E.Literal(limit))
 
         return ParseResult(explain=explain, plan=builder)
 
@@ -272,11 +362,30 @@ class _Parser:
             }
             return E.BinaryExpr(left, opmap[op], right)
         # [not] regexp / like (visitor.go PatternRegexpExpr / LikeExpr: the
-        # left side is rewritten to a concrete Column reference).
+        # left side is rewritten to a concrete Column reference) and
+        # [not] in (...) value lists, lowered to OR-of-eq / AND-of-neq —
+        # the CNF shapes every fast tier accepts.
         negate = False
         save = self.pos
         if self.accept_kw("not"):
             negate = True
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            lits = [self.parse_additive()]
+            while self.accept_op(","):
+                lits.append(self.parse_additive())
+            self.expect_op(")")
+            op_ = E.OP_NOT_EQ if negate else E.OP_EQ
+            e = None
+            for lit in lits:
+                leaf = E.BinaryExpr(left, op_, lit)
+                if e is None:
+                    e = leaf
+                elif negate:
+                    e = E.BinaryExpr(e, E.OP_AND, leaf)
+                else:
+                    e = E.BinaryExpr(e, E.OP_OR, leaf)
+            return e
         kw = self.accept_kw("regexp", "like")
         if kw is None:
             if negate:

@@ -168,11 +168,12 @@ def test_fallback_reasons_surfaced():
         db.table_provider(), ExecOptions(tracer=tracer, metrics=registry)
     )
     out = []
-    # a limit above the aggregation has no fast tier -> every tier must
-    # decline with a recorded reason (unique()/and() compile since r5).
-    engine.scan_table("t").aggregate(
-        [E.Sum(E.Col("value"))], [E.Col("example_type")]
-    ).limit(E.Literal(5)).execute(out.append)
+    # an unfiltered projection + sort has no fast tier -> every tier must
+    # decline with a recorded reason (unique()/and(), limit-over-agg
+    # peeling etc. compile since r5).
+    engine.scan_table("t").project(E.Col("value")).order_by(
+        "value"
+    ).execute(out.append)
     assert out
     root = tracer.roots[0]
     assert root.attributes["path"] == "generic"
