@@ -1337,6 +1337,85 @@ class CompiledFilterAggregate:
             return ("nulllit", leaf.op, static)
         return ("dict", static)
 
+    def _fastcmp_sig(self, sp, plans):
+        """The serving hot shape's in-kernel-compare gate: exactly one
+        single-leaf int clause (i32 range, column present in every part)
+        and sum/count-only value plans — the Pallas kernel then evaluates
+        the predicate itself against a cached int8 base-validity plane,
+        skipping the selection plane's HBM round trip (~2x engine
+        throughput on the Range/Merge shapes). Range predicates go further:
+        validity folds into a cached SENTINEL-masked compare plane
+        (invalid rows hold INT32_MIN / INT32_MAX, which the predicate can
+        never satisfy), so the kernel reads exactly the raw-kernel's three
+        4B planes per row. Returns (op, "sent_lo"|"sent_hi"|"base8") or
+        None."""
+        if len(self.clauses) != 1 or len(self.clauses[0]) != 1:
+            return None
+        leaf = self.filters[self.clauses[0][0]]
+        if leaf.kind != "int" or not self._leaf_i32_ok(sp, leaf):
+            return None
+        if not all(
+            p.batch.column(leaf.column) is not None for p in sp["parts"]
+        ):
+            return None
+        for p in plans:
+            if (
+                p.wide
+                or p.fexact is not None
+                or p.source is not None
+                or p.need_minmax
+                or p.need_unique
+                or p.need_and
+            ):
+                return None
+        if leaf.op == ">" or (leaf.op == ">=" and leaf.lit > _INT32_MIN):
+            return (leaf.op, "sent_lo")
+        if leaf.op == "<" or (leaf.op == "<=" and leaf.lit < _INT32_MAX):
+            return (leaf.op, "sent_hi")
+        return (leaf.op, "base8")
+
+    def _sp_cmpmask(self, sp, gplan, leafcol: str, sentinel: int):
+        """Sentinel-masked i32 compare plane: the filter column's values
+        with every invalid row (padding, null group key, null filter slot)
+        replaced by a predicate-unsatisfiable sentinel — cached once per
+        (part set, group cols, column, side)."""
+        import jax.numpy as jnp
+
+        k = (
+            "cmpmask",
+            tuple(g.name for g in gplan if g.kind != "bool"),
+            leafcol,
+            int(sentinel),
+        )
+        out = sp["planes"].get(k)
+        if out is None:
+            base = self._sp_basesel(sp, gplan) * self._sp_plane(
+                sp, "valid", leafcol
+            )
+            vals = self._sp_i32_m(sp, leafcol)
+            out = jnp.where(base == 1, vals, jnp.int32(sentinel))
+            sp["planes"][k] = out
+        return out
+
+    def _sp_basesel8(self, sp, gplan, leafcol: str):
+        """int8 base-validity plane: row validity x group validity x the
+        filter column's validity, folded once per (part set, cols) — the
+        fused-compare kernel's 1B/row mask input."""
+        import jax.numpy as jnp
+
+        k = (
+            "basesel8",
+            tuple(g.name for g in gplan if g.kind != "bool"),
+            leafcol,
+        )
+        out = sp["planes"].get(k)
+        if out is None:
+            base = self._sp_basesel(sp, gplan)
+            base = base * self._sp_plane(sp, "valid", leafcol)
+            out = base.astype(jnp.int8)
+            sp["planes"][k] = out
+        return out
+
     def _fused_structure(self, sp, plans, num_codes) -> tuple:
         g = tuple(
             ("bool", self._leaf_sig(sp, gc.leaf))
@@ -1373,7 +1452,14 @@ class CompiledFilterAggregate:
             )
             for p in plans
         )
-        return (g, tuple(cl), vp, self.on_tpu, num_codes)
+        return (
+            g,
+            tuple(cl),
+            vp,
+            self.on_tpu,
+            num_codes,
+            self._fastcmp_sig(sp, plans),
+        )
 
     def _leaf_args(self, sp, leaf, lut_idx: Optional[int]) -> list:
         """Device args for one comparison leaf (shared by filter clauses
@@ -1453,10 +1539,26 @@ class CompiledFilterAggregate:
                 args.append(self._sp_plane(sp, "codes", gcol.name))
                 if gcol.remap is not None:
                     args.append(self._remap_dev(gcol))
-        args.append(self._sp_basesel(sp, self._gplan))
-        for idxs in self.clauses:
-            for i in idxs:
-                args.extend(self._leaf_args(sp, self.filters[i], i))
+        fastcmp = self._fastcmp_sig(sp, plans)
+        if fastcmp is not None:
+            leaf = self.filters[self.clauses[0][0]]
+            _op, mode = fastcmp
+            if mode == "base8":
+                args.append(
+                    self._sp_basesel8(sp, self._gplan, leaf.column)
+                )
+                args.append(self._sp_i32_m(sp, leaf.column))
+            else:
+                sent = _INT32_MIN if mode == "sent_lo" else _INT32_MAX
+                args.append(
+                    self._sp_cmpmask(sp, self._gplan, leaf.column, sent)
+                )
+            args.append(_dev_scalar(leaf.lit, jnp.int32))
+        else:
+            args.append(self._sp_basesel(sp, self._gplan))
+            for idxs in self.clauses:
+                for i in idxs:
+                    args.extend(self._leaf_args(sp, self.filters[i], i))
         for plan in plans:
             if plan.source is not None:
                 # Join-fusion virtual plane: the probe side's raw key codes
@@ -2076,9 +2178,14 @@ def _build_fused_program(structure):
         first_selected_row,
         group_min_max_scatter,
     )
-    from .ops.pallas_agg import pallas_group_min_max, pallas_group_sum_count
+    from .ops.pallas_agg import (
+        pallas_fused_cmp_group_sum_count,
+        pallas_fused_cmp_sentinel_group_sum_count,
+        pallas_group_min_max,
+        pallas_group_sum_count,
+    )
 
-    gshape, clauses, vps, on_tpu, num_codes = structure
+    gshape, clauses, vps, on_tpu, num_codes, fastcmp = structure
 
     def fn(*xs):
         i = 0
@@ -2147,15 +2254,41 @@ def _build_fused_program(structure):
                         i += 1
             combined = c if combined is None else combined * k + c
         codes = combined
-        # Pre-folded row-validity x group-validity plane (_sp_basesel).
-        sel = xs[i]
-        i += 1
-        for cl in clauses:
-            cmask = None
-            for leaf in cl:
-                m = eval_leaf(leaf)
-                cmask = m if cmask is None else jnp.maximum(cmask, m)
-            sel = sel * cmask
+        if fastcmp is not None:
+            # In-kernel compare; range predicates read a sentinel-masked
+            # plane (validity pre-folded), ==/!= read int8 base + values.
+            # The selection never exists in HBM on TPU.
+            fc_op, fc_mode = fastcmp
+            if fc_mode == "base8":
+                base8, tsv, lit = xs[i], xs[i + 1], xs[i + 2]
+                i += 3
+            else:
+                base8 = None
+                tsv, lit = xs[i], xs[i + 1]
+                i += 2
+            sel = None
+            if not on_tpu:
+                cmp = {
+                    "<": tsv < lit,
+                    "<=": tsv <= lit,
+                    ">": tsv > lit,
+                    ">=": tsv >= lit,
+                    "==": tsv == lit,
+                    "!=": tsv != lit,
+                }[fc_op]
+                sel = cmp.astype(jnp.int32)
+                if base8 is not None:
+                    sel = sel * base8.astype(jnp.int32)
+        else:
+            # Pre-folded row-validity x group-validity plane (_sp_basesel).
+            sel = xs[i]
+            i += 1
+            for cl in clauses:
+                cmask = None
+                for leaf in cl:
+                    m = eval_leaf(leaf)
+                    cmask = m if cmask is None else jnp.maximum(cmask, m)
+                sel = sel * cmask
 
         # per value column: list of (plane, num_digits) kernel passes
         value_planes = []
@@ -2235,7 +2368,7 @@ def _build_fused_program(structure):
                 i += 1
 
         flat_codes = codes.reshape(-1)
-        flat_sel = sel.reshape(-1) > 0
+        flat_sel = sel.reshape(-1) > 0 if sel is not None else None
         counts = first = None
         sums: dict = {}
         usums: dict = {}  # vi -> valid-slot count partials (unique)
@@ -2250,7 +2383,17 @@ def _build_fused_program(structure):
         if not passes:
             passes.append((None, jnp.zeros_like(codes), 1))
         for idx, (vi, vals, digits) in enumerate(passes):
-            if on_tpu:
+            if on_tpu and fastcmp is not None:
+                if base8 is None:
+                    s, c, f = pallas_fused_cmp_sentinel_group_sum_count(
+                        codes, vals, tsv, lit, num_codes, digits, fc_op
+                    )
+                else:
+                    s, c, f = pallas_fused_cmp_group_sum_count(
+                        codes, vals, tsv, base8, lit, num_codes, digits,
+                        fc_op,
+                    )
+            elif on_tpu:
                 s, c, f = pallas_group_sum_count(
                     codes, vals, sel, num_codes, digits
                 )

@@ -38,13 +38,20 @@ ROWS_PER_SUPER = SUB * 128
 
 
 def _make_agg_kernel(
-    num_digits: int, fused_compare: bool = False, num_code_tiles: int = 1
+    num_digits: int,
+    fused_compare: bool = False,
+    num_code_tiles: int = 1,
+    cmp_op: str = ">=",
+    with_base: bool = False,
 ):
     """Kernel factory: LHS rows are num_digits base-128 digit rows + the
     selection row, padded to the 8-sublane tile. With ``fused_compare`` the
     third input is a timestamp block compared against an SMEM literal inside
-    the kernel (saves materializing the selection vector through HBM);
-    otherwise it is a precomputed 0/1 selection block.
+    the kernel (saves materializing the selection vector through HBM —
+    ~12B/row of traffic on the serving hot shape); ``with_base``
+    additionally ANDs a precomputed int8 base-validity plane (padding + leaf
+    validity, 1B/row, cached across queries). Otherwise the third input is
+    a precomputed 0/1 int32 selection block.
 
     ``num_code_tiles`` tiles code spaces larger than one 128-lane
     accumulator: each slab's LHS is built once and contracted against one
@@ -61,7 +68,31 @@ def _make_agg_kernel(
         # Whole-block elementwise precompute (full VPU tiles instead of
         # [1,128] row slices): masked base-128 digits + selection row.
         v = v_ref[:]
-        if fused_compare:
+        if fused_compare and not with_base and cmp_op != ">=":
+            lit_ref, out_ref = rest
+            ts = sel_ref[:]
+            lit = lit_ref[0]
+            cmp = {
+                "<": ts < lit,
+                "<=": ts <= lit,
+                ">": ts > lit,
+            }[cmp_op]
+            sel32 = cmp.astype(jnp.int32)
+        elif fused_compare and with_base:
+            base_ref, lit_ref, out_ref = rest
+            ts = sel_ref[:]
+            lit = lit_ref[0]
+            cmp = {
+                "<": ts < lit,
+                "<=": ts <= lit,
+                ">": ts > lit,
+                ">=": ts >= lit,
+                "==": ts == lit,
+                "!=": ts != lit,
+            }[cmp_op]
+            # int8 compares don't legalize on Mosaic: widen base to i32
+            sel32 = cmp.astype(jnp.int32) * base_ref[:].astype(jnp.int32)
+        elif fused_compare:
             lit_ref, out_ref = rest
             sel32 = (sel_ref[:] >= lit_ref[0]).astype(jnp.int32)
         else:
@@ -215,6 +246,128 @@ def pallas_filter_group_sum_count(
         sums = sums + (parts[d] << (7 * d))
     counts = parts[num_digits]
     return sums, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_codes", "num_digits", "cmp_op")
+)
+def pallas_fused_cmp_sentinel_group_sum_count(
+    codes, values, tsm, literal, num_codes: int, num_digits: int,
+    cmp_op: str,
+):
+    """Range-predicate serving with validity folded into the compare plane
+    itself: invalid/padding rows hold a sentinel (INT32_MIN for >/>=,
+    INT32_MAX for </<=) that can never satisfy the predicate, so the
+    kernel reads exactly three 4B planes per row — the raw-kernel
+    roofline. ``tsm`` is the cached sentinel-masked plane; caller gates
+    the literal away from the sentinel value."""
+    n_slabs = codes.shape[0]
+    n_super = n_slabs // SUB
+    assert n_super * SUB == n_slabs, (n_slabs, SUB)
+    tiles = -(-num_codes // 128)
+    k_pad = tiles * 128
+    lit = literal.reshape(1).astype(jnp.int32)
+    out = pl.pallas_call(
+        _make_agg_kernel(
+            num_digits,
+            fused_compare=True,
+            num_code_tiles=tiles,
+            cmp_op=cmp_op,
+        ),
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, k_pad),
+            lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, k_pad), jnp.int32),
+    )(codes, values, tsm, lit)
+
+    parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
+    sums = parts[0]
+    for d in range(1, num_digits):
+        sums = sums + (parts[d] << (7 * d))
+    counts = parts[num_digits]
+    super_counts = out[:, num_digits, :num_codes]
+    first_super = jnp.argmax(super_counts > 0, axis=0).astype(jnp.int32)
+    return sums, counts, first_super
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_codes", "num_digits", "cmp_op")
+)
+def pallas_fused_cmp_group_sum_count(
+    codes, values, ts, base8, literal, num_codes: int, num_digits: int,
+    cmp_op: str,
+):
+    """The serving hot shape with the filter fused INTO the kernel:
+    ``where ts <op> literal group by codes`` with an int8 base-validity
+    plane (padding x leaf validity, cached across queries). Returns
+    (sums, counts, first_super) like pallas_group_sum_count; saves the
+    selection plane's HBM write+read (the compiled engine path measured
+    ~2x slower than the raw kernel purely from that traffic)."""
+    n_slabs = codes.shape[0]
+    n_super = n_slabs // SUB
+    assert n_super * SUB == n_slabs, (n_slabs, SUB)
+    tiles = -(-num_codes // 128)
+    k_pad = tiles * 128
+    lit = literal.reshape(1).astype(jnp.int32)
+    out = pl.pallas_call(
+        _make_agg_kernel(
+            num_digits,
+            fused_compare=True,
+            num_code_tiles=tiles,
+            cmp_op=cmp_op,
+            with_base=True,
+        ),
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, k_pad),
+            lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_super, 8, k_pad), jnp.int32),
+    )(codes, values, ts, base8, lit)
+
+    parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
+    sums = parts[0]
+    for d in range(1, num_digits):
+        sums = sums + (parts[d] << (7 * d))
+    counts = parts[num_digits]
+    super_counts = out[:, num_digits, :num_codes]
+    first_super = jnp.argmax(super_counts > 0, axis=0).astype(jnp.int32)
+    return sums, counts, first_super
 
 
 _I32_MAX = 2**31 - 1
