@@ -1349,14 +1349,7 @@ class CompiledFilterAggregate:
         never satisfy), so the kernel reads exactly the raw-kernel's three
         4B planes per row. Returns (op, "sent_lo"|"sent_hi"|"base8") or
         None."""
-        if len(self.clauses) != 1 or len(self.clauses[0]) != 1:
-            return None
-        leaf = self.filters[self.clauses[0][0]]
-        if leaf.kind != "int" or not self._leaf_i32_ok(sp, leaf):
-            return None
-        if not all(
-            p.batch.column(leaf.column) is not None for p in sp["parts"]
-        ):
+        if not 1 <= len(self.clauses) <= 3:
             return None
         for p in plans:
             if (
@@ -1368,11 +1361,36 @@ class CompiledFilterAggregate:
                 or p.need_and
             ):
                 return None
-        if leaf.op == ">" or (leaf.op == ">=" and leaf.lit > _INT32_MIN):
-            return (leaf.op, "sent_lo")
-        if leaf.op == "<" or (leaf.op == "<=" and leaf.lit < _INT32_MAX):
-            return (leaf.op, "sent_hi")
-        return (leaf.op, "base8")
+        leaves = []
+        for idxs in self.clauses:
+            if len(idxs) != 1:
+                return None
+            leaf = self.filters[idxs[0]]
+            if leaf.kind != "int" or not self._leaf_i32_ok(sp, leaf):
+                return None
+            if not all(
+                p.batch.column(leaf.column) is not None
+                for p in sp["parts"]
+            ):
+                return None
+            leaves.append(leaf)
+        ops = []
+        for leaf in leaves:
+            if leaf.op == ">" or (
+                leaf.op == ">=" and leaf.lit > _INT32_MIN
+            ):
+                ops.append(leaf.op)
+            elif leaf.op == "<" or (
+                leaf.op == "<=" and leaf.lit < _INT32_MAX
+            ):
+                ops.append(leaf.op)
+            else:
+                # ==/!= have no unsatisfiable sentinel; single-clause only
+                # via the int8 base plane
+                if len(leaves) == 1:
+                    return (leaf.op, "base8")
+                return None
+        return ("band", tuple(ops))
 
     def _sp_cmpmask(self, sp, gplan, leafcol: str, sentinel: int):
         """Sentinel-masked i32 compare plane: the filter column's values
@@ -1540,19 +1558,21 @@ class CompiledFilterAggregate:
                 if gcol.remap is not None:
                     args.append(self._remap_dev(gcol))
         fastcmp = self._fastcmp_sig(sp, plans)
-        if fastcmp is not None:
-            leaf = self.filters[self.clauses[0][0]]
-            _op, mode = fastcmp
-            if mode == "base8":
-                args.append(
-                    self._sp_basesel8(sp, self._gplan, leaf.column)
-                )
-                args.append(self._sp_i32_m(sp, leaf.column))
-            else:
-                sent = _INT32_MIN if mode == "sent_lo" else _INT32_MAX
+        if fastcmp is not None and fastcmp[0] == "band":
+            for idxs, op in zip(self.clauses, fastcmp[1]):
+                leaf = self.filters[idxs[0]]
+                sent = _INT32_MIN if op in (">", ">=") else _INT32_MAX
                 args.append(
                     self._sp_cmpmask(sp, self._gplan, leaf.column, sent)
                 )
+            for idxs in self.clauses:
+                args.append(
+                    _dev_scalar(self.filters[idxs[0]].lit, jnp.int32)
+                )
+        elif fastcmp is not None:
+            leaf = self.filters[self.clauses[0][0]]
+            args.append(self._sp_basesel8(sp, self._gplan, leaf.column))
+            args.append(self._sp_i32_m(sp, leaf.column))
             args.append(_dev_scalar(leaf.lit, jnp.int32))
         else:
             args.append(self._sp_basesel(sp, self._gplan))
@@ -2179,8 +2199,8 @@ def _build_fused_program(structure):
         group_min_max_scatter,
     )
     from .ops.pallas_agg import (
+        pallas_fused_band_group_sum_count,
         pallas_fused_cmp_group_sum_count,
-        pallas_fused_cmp_sentinel_group_sum_count,
         pallas_group_min_max,
         pallas_group_sum_count,
     )
@@ -2255,30 +2275,40 @@ def _build_fused_program(structure):
             combined = c if combined is None else combined * k + c
         codes = combined
         if fastcmp is not None:
-            # In-kernel compare; range predicates read a sentinel-masked
-            # plane (validity pre-folded), ==/!= read int8 base + values.
-            # The selection never exists in HBM on TPU.
-            fc_op, fc_mode = fastcmp
-            if fc_mode == "base8":
+            # In-kernel compare; range-predicate conjunctions read one
+            # sentinel-masked plane per clause (validity pre-folded),
+            # ==/!= read int8 base + values. The selection never exists in
+            # HBM on TPU.
+            if fastcmp[0] == "band":
+                fc_ops = fastcmp[1]
+                n_cl = len(fc_ops)
+                fc_planes = list(xs[i : i + n_cl])
+                i += n_cl
+                fc_lits = list(xs[i : i + n_cl])
+                i += n_cl
+                base8 = tsv = lit = None
+            else:
+                fc_op, _mode = fastcmp
                 base8, tsv, lit = xs[i], xs[i + 1], xs[i + 2]
                 i += 3
-            else:
-                base8 = None
-                tsv, lit = xs[i], xs[i + 1]
-                i += 2
             sel = None
             if not on_tpu:
-                cmp = {
-                    "<": tsv < lit,
-                    "<=": tsv <= lit,
-                    ">": tsv > lit,
-                    ">=": tsv >= lit,
-                    "==": tsv == lit,
-                    "!=": tsv != lit,
-                }[fc_op]
-                sel = cmp.astype(jnp.int32)
-                if base8 is not None:
-                    sel = sel * base8.astype(jnp.int32)
+                if fastcmp[0] == "band":
+                    for op2, pl2, lit2 in zip(fc_ops, fc_planes, fc_lits):
+                        cmp = {
+                            "<": pl2 < lit2,
+                            "<=": pl2 <= lit2,
+                            ">": pl2 > lit2,
+                            ">=": pl2 >= lit2,
+                        }[op2]
+                        m = cmp.astype(jnp.int32)
+                        sel = m if sel is None else sel * m
+                else:
+                    cmp = {
+                        "==": tsv == lit,
+                        "!=": tsv != lit,
+                    }[fc_op]
+                    sel = cmp.astype(jnp.int32) * base8.astype(jnp.int32)
         else:
             # Pre-folded row-validity x group-validity plane (_sp_basesel).
             sel = xs[i]
@@ -2384,9 +2414,10 @@ def _build_fused_program(structure):
             passes.append((None, jnp.zeros_like(codes), 1))
         for idx, (vi, vals, digits) in enumerate(passes):
             if on_tpu and fastcmp is not None:
-                if base8 is None:
-                    s, c, f = pallas_fused_cmp_sentinel_group_sum_count(
-                        codes, vals, tsv, lit, num_codes, digits, fc_op
+                if fastcmp[0] == "band":
+                    s, c, f = pallas_fused_band_group_sum_count(
+                        codes, vals, tuple(fc_planes), tuple(fc_lits),
+                        num_codes, digits, fc_ops,
                     )
                 else:
                     s, c, f = pallas_fused_cmp_group_sum_count(

@@ -68,16 +68,25 @@ def _make_agg_kernel(
         # Whole-block elementwise precompute (full VPU tiles instead of
         # [1,128] row slices): masked base-128 digits + selection row.
         v = v_ref[:]
-        if fused_compare and not with_base and cmp_op != ">=":
-            lit_ref, out_ref = rest
-            ts = sel_ref[:]
-            lit = lit_ref[0]
-            cmp = {
-                "<": ts < lit,
-                "<=": ts <= lit,
-                ">": ts > lit,
-            }[cmp_op]
-            sel32 = cmp.astype(jnp.int32)
+        if fused_compare and isinstance(cmp_op, tuple):
+            # conjunction of sentinel-masked range predicates: one compare
+            # plane + literal per clause, AND-folded in VMEM
+            n_cl = len(cmp_op)
+            planes = (sel_ref,) + rest[: n_cl - 1]
+            lit_ref = rest[n_cl - 1]
+            out_ref = rest[n_cl]
+            sel32 = None
+            for ci, op_i in enumerate(cmp_op):
+                ts = planes[ci][:]
+                lit = lit_ref[ci]
+                cmp = {
+                    "<": ts < lit,
+                    "<=": ts <= lit,
+                    ">": ts > lit,
+                    ">=": ts >= lit,
+                }[op_i]
+                m = cmp.astype(jnp.int32)
+                sel32 = m if sel32 is None else sel32 * m
         elif fused_compare and with_base:
             base_ref, lit_ref, out_ref = rest
             ts = sel_ref[:]
@@ -249,53 +258,49 @@ def pallas_filter_group_sum_count(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_codes", "num_digits", "cmp_op")
+    jax.jit, static_argnames=("num_codes", "num_digits", "cmp_ops")
 )
-def pallas_fused_cmp_sentinel_group_sum_count(
-    codes, values, tsm, literal, num_codes: int, num_digits: int,
-    cmp_op: str,
+def pallas_fused_band_group_sum_count(
+    codes, values, planes, literals, num_codes: int, num_digits: int,
+    cmp_ops: tuple,
 ):
-    """Range-predicate serving with validity folded into the compare plane
-    itself: invalid/padding rows hold a sentinel (INT32_MIN for >/>=,
-    INT32_MAX for </<=) that can never satisfy the predicate, so the
-    kernel reads exactly three 4B planes per row — the raw-kernel
-    roofline. ``tsm`` is the cached sentinel-masked plane; caller gates
-    the literal away from the sentinel value."""
+    """Conjunction of sentinel-masked range predicates fused into the
+    kernel (``lo <= ts < hi`` bands, multi-column AND chains): one cached
+    4B compare plane per clause, literals in SMEM — no selection plane in
+    HBM. Returns (sums, counts, first_super)."""
     n_slabs = codes.shape[0]
     n_super = n_slabs // SUB
     assert n_super * SUB == n_slabs, (n_slabs, SUB)
     tiles = -(-num_codes // 128)
     k_pad = tiles * 128
-    lit = literal.reshape(1).astype(jnp.int32)
+    lits = jnp.stack([l.astype(jnp.int32) for l in literals]).reshape(-1)
+    n_cl = len(cmp_ops)
+    in_specs = [
+        pl.BlockSpec(
+            (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        )
+        for _ in range(2 + n_cl)
+    ] + [
+        pl.BlockSpec(
+            (n_cl,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM
+        )
+    ]
     out = pl.pallas_call(
         _make_agg_kernel(
             num_digits,
             fused_compare=True,
             num_code_tiles=tiles,
-            cmp_op=cmp_op,
+            cmp_op=tuple(cmp_ops),
         ),
         grid=(n_super,),
-        in_specs=[
-            pl.BlockSpec(
-                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (SUB, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1,), lambda i: (jnp.int32(0),), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 8, k_pad),
             lambda i: (i, jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_super, 8, k_pad), jnp.int32),
-    )(codes, values, tsm, lit)
+    )(codes, values, *planes, lits)
 
     parts = out[:, : num_digits + 1, :num_codes].astype(jnp.int64).sum(axis=0)
     sums = parts[0]
