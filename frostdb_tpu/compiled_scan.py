@@ -245,7 +245,16 @@ class CompiledScan(CompiledFilterAggregate):
         RB = ROWS_PER_SUPER
         offsets = sp["row_offsets"]
         n_blocks = int(offsets[-1]) // RB
-        capb = _CAPB0
+        # Start at the capacity the LAST query with this structure settled
+        # on (cached per table): serving workloads repeat their shapes, and
+        # a capacity escalation costs a second device dispatch — a full
+        # tunnel round trip (measured: the macro filter->project query paid
+        # 2 RTTs every time at the default capacity).
+        cache = getattr(self.table, "_scan_capb_cache", None)
+        if cache is None:
+            cache = self.table._scan_capb_cache = {}
+        ckey = self._scan_structure(sp)
+        capb = min(max(cache.get(ckey, _CAPB0), _CAPB0), _CAPB_MAX)
         blob = self._run_scan_program(sp, capb)
         bc = blob[:n_blocks]
         idx2d = blob[n_blocks:].reshape(n_blocks, capb)
@@ -258,6 +267,7 @@ class CompiledScan(CompiledFilterAggregate):
                 bc = blob[:n_blocks]
                 idx2d = blob[n_blocks:].reshape(n_blocks, capb)
                 partial = (bc > capb) & (bc < RB)
+        cache[ckey] = capb
         pieces: list[np.ndarray] = []
         for b in np.nonzero(bc > 0)[0]:
             base = b * RB
