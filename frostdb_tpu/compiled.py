@@ -1366,7 +1366,12 @@ class CompiledFilterAggregate:
             if len(idxs) != 1:
                 return None
             leaf = self.filters[idxs[0]]
-            if leaf.kind != "int" or not self._leaf_i32_ok(sp, leaf):
+            if leaf.kind == "dict":
+                # dict equality reduces to a CODE compare (codes ==
+                # lookup(lit)): sentinel-maskable like any range leaf
+                if leaf.op != E.OP_EQ or not isinstance(leaf.lit, str):
+                    return None
+            elif leaf.kind != "int" or not self._leaf_i32_ok(sp, leaf):
                 return None
             if not all(
                 p.batch.column(leaf.column) is not None
@@ -1376,7 +1381,11 @@ class CompiledFilterAggregate:
             leaves.append(leaf)
         ops = []
         for leaf in leaves:
-            if leaf.op == ">" or (
+            if leaf.kind == "dict":
+                # codes >= 0 and the (possibly missing -> -1) literal can
+                # never equal the INT32_MIN sentinel
+                ops.append("==")
+            elif leaf.op == ">" or (
                 leaf.op == ">=" and leaf.lit > _INT32_MIN
             ):
                 ops.append(leaf.op)
@@ -1385,8 +1394,8 @@ class CompiledFilterAggregate:
             ):
                 ops.append(leaf.op)
             else:
-                # ==/!= have no unsatisfiable sentinel; single-clause only
-                # via the int8 base plane
+                # int ==/!= have no unsatisfiable sentinel; single-clause
+                # only via the int8 base plane
                 if len(leaves) == 1:
                     return (leaf.op, "base8")
                 return None
@@ -1412,6 +1421,26 @@ class CompiledFilterAggregate:
             )
             vals = self._sp_i32_m(sp, leafcol)
             out = jnp.where(base == 1, vals, jnp.int32(sentinel))
+            sp["planes"][k] = out
+        return out
+
+    def _sp_cmpmask_dict(self, sp, gplan, leafcol: str):
+        """Sentinel-masked i32 CODES plane for dict-equality band clauses
+        (invalid rows hold INT32_MIN, which no code or literal equals)."""
+        import jax.numpy as jnp
+
+        k = (
+            "cmpmaskd",
+            tuple(g.name for g in gplan if g.kind != "bool"),
+            leafcol,
+        )
+        out = sp["planes"].get(k)
+        if out is None:
+            base = self._sp_basesel(sp, gplan) * self._sp_plane(
+                sp, "valid", leafcol
+            )
+            vals = self._sp_plane(sp, "codes_m", leafcol)
+            out = jnp.where(base == 1, vals, jnp.int32(_INT32_MIN))
             sp["planes"][k] = out
         return out
 
@@ -1561,14 +1590,32 @@ class CompiledFilterAggregate:
         if fastcmp is not None and fastcmp[0] == "band":
             for idxs, op in zip(self.clauses, fastcmp[1]):
                 leaf = self.filters[idxs[0]]
-                sent = _INT32_MIN if op in (">", ">=") else _INT32_MAX
-                args.append(
-                    self._sp_cmpmask(sp, self._gplan, leaf.column, sent)
-                )
+                if leaf.kind == "dict":
+                    args.append(
+                        self._sp_cmpmask_dict(sp, self._gplan, leaf.column)
+                    )
+                else:
+                    sent = (
+                        _INT32_MIN if op in (">", ">=") else _INT32_MAX
+                    )
+                    args.append(
+                        self._sp_cmpmask(
+                            sp, self._gplan, leaf.column, sent
+                        )
+                    )
             for idxs in self.clauses:
-                args.append(
-                    _dev_scalar(self.filters[idxs[0]].lit, jnp.int32)
-                )
+                leaf = self.filters[idxs[0]]
+                if leaf.kind == "dict":
+                    # dictionary code of the literal; -1 (matches nothing)
+                    # when the value has never been seen
+                    code = leaf.dictionary.lookup(leaf.lit)
+                    args.append(
+                        _dev_scalar(
+                            -1 if code is None else int(code), jnp.int32
+                        )
+                    )
+                else:
+                    args.append(_dev_scalar(leaf.lit, jnp.int32))
         elif fastcmp is not None:
             leaf = self.filters[self.clauses[0][0]]
             args.append(self._sp_basesel8(sp, self._gplan, leaf.column))
@@ -2307,6 +2354,7 @@ def _build_fused_program(structure):
                             "<=": pl2 <= lit2,
                             ">": pl2 > lit2,
                             ">=": pl2 >= lit2,
+                            "==": pl2 == lit2,
                         }[op2]
                         m = cmp.astype(jnp.int32)
                         sel = m if sel is None else sel * m

@@ -84,6 +84,7 @@ def _make_agg_kernel(
                     "<=": ts <= lit,
                     ">": ts > lit,
                     ">=": ts >= lit,
+                    "==": ts == lit,  # dict-equality code compares
                 }[op_i]
                 m = cmp.astype(jnp.int32)
                 sel32 = m if sel32 is None else sel32 * m
