@@ -145,6 +145,11 @@ def plan_to_proto(plan: LogicalPlan) -> pb.PlanNode:
         node.join.right.CopyFrom(plan_to_proto(plan.join.right))
         node.join.on.extend(plan.join.on)
         node.join.how = plan.join.how
+    elif plan.order_by is not None:
+        for name, direction in plan.order_by.keys:
+            k = node.order_by.keys.add()
+            k.column = name
+            k.direction = direction
     else:
         raise ProtoConversionError("unsupported plan node")
     if plan.input is not None:
@@ -193,6 +198,10 @@ def plan_from_proto(node: pb.PlanNode, provider) -> LogicalPlan:
         elif spec == "join":
             right = plan_from_proto(n.join.right, provider)
             builder = builder.join(right, list(n.join.on), n.join.how)
+        elif spec == "order_by":
+            builder = builder.order_by(
+                *((k.column, k.direction) for k in n.order_by.keys)
+            )
         else:
             raise ProtoConversionError(f"unsupported plan spec {spec}")
     return builder.plan

@@ -87,3 +87,24 @@ def test_grpc_query_stream():
         assert int(c.values[0]) == 6
     finally:
         server.stop(0)
+
+
+def test_order_by_round_trip():
+    """OrderBy survives the serialized-plan protocol (north-star remote
+    surface: a sorted query executes identically via gRPC)."""
+    from frostdb_tpu.exprpb import plan_from_proto, plan_to_proto
+    from frostdb_tpu.query.logical import Builder
+
+    plan = (
+        Builder()
+        .scan(None, "t")
+        .project(E.Col("value"), E.Col("timestamp"))
+        .order_by(("value", "desc"), "timestamp")
+        .limit(E.Literal(5))
+        .build()
+    )
+    msg = plan_to_proto(plan)
+    rebuilt = plan_from_proto(msg, None)
+    assert rebuilt.limit is not None
+    ob = rebuilt.input.order_by
+    assert ob.keys == [("value", "desc"), ("timestamp", "asc")]
