@@ -217,6 +217,13 @@ class _ValuePlan:
     #   ("mul", key_col, src)    plane = src_values * cnt_lut[key codes] —
     #                            a probe-side value replicated per matching
     #                            build row (sum over join pairs)
+    #   ("gatherv", key, else_)  left_outer: valid-key rows gather the LUT,
+    #                            null-key rows contribute the static else
+    #                            value (0 for value partials, 1 for the
+    #                            row-count multiplier); LUT values must be
+    #                            non-negative (bias stays 0)
+    #   ("mulv", key, src)       left_outer sum(probe col): multiplier is
+    #                            max(cnt,1) for valid keys, 1 for null keys
     # Runtime LUT contents ride in ``lut`` (np.int64, raw/unshifted; the
     # device upload applies the bias shift host-side).
     source: object = None
@@ -1630,10 +1637,16 @@ class CompiledFilterAggregate:
             if plan.source is not None:
                 # Join-fusion virtual plane: the probe side's raw key codes
                 # plus the per-execute (bias-shifted) build-side LUT.
+                kind0 = plan.source[0]
                 args.append(self._sp_plane(sp, "codes", plan.source[1]))
-                if plan.source[0] == "gather":
+                if kind0.startswith("gatherv") or kind0 == "mulv":
+                    # left_outer: null-key rows take the static else value
+                    args.append(
+                        self._sp_plane(sp, "valid", plan.source[1])
+                    )
+                if kind0.startswith("gather"):
                     args.append(plan.lut_dev)
-                else:  # ("mul", key, src): src values x match count
+                else:  # mul/mulv: src values x match-count multiplier
                     args.append(plan.lut_dev)
                     args.append(self._sp_plane(sp, "int64", plan.source[2]))
                     args.append(_dev_scalar(plan.bias, jnp.int64))
@@ -2406,6 +2419,42 @@ def _build_fused_program(structure):
                 v = jnp.take(lut, cplane, mode="clip")
                 value_planes.append(
                     wide_split(v, nd, hd) if wide else [(v, nd)]
+                )
+                continue
+            if src.startswith("gatherv"):
+                # left_outer: null-key rows contribute the else value
+                # carried in the source tag ("gatherv0" / "gatherv1")
+                else_v = int(src[-1])
+                cplane, kvalid, lut = xs[i], xs[i + 1], xs[i + 2]
+                i += 3
+                v = jnp.where(
+                    kvalid,
+                    jnp.take(lut, cplane, mode="clip"),
+                    jnp.asarray(else_v, lut.dtype),
+                )
+                value_planes.append(
+                    wide_split(v, nd, hd) if wide else [(v, nd)]
+                )
+                continue
+            if src == "mulv":
+                # left_outer sum(probe col): multiplier max(cnt,1) for
+                # valid keys, 1 for null keys
+                cplane, kvalid, cnt, vals, bias = (
+                    xs[i],
+                    xs[i + 1],
+                    xs[i + 2],
+                    xs[i + 3],
+                    xs[i + 4],
+                )
+                i += 5
+                mult = jnp.where(
+                    kvalid, jnp.take(cnt, cplane, mode="clip"), jnp.int64(1)
+                )
+                v = vals * mult - bias
+                value_planes.append(
+                    wide_split(v, nd, hd)
+                    if wide
+                    else [(v.astype(jnp.int32), nd)]
                 )
                 continue
             if src == "mul":

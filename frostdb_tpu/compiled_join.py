@@ -115,23 +115,37 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
         self._jdict = spec.table.dictionary(key.split(".", 1)[0])
         # The match leaf: lut[key code] gathered like any dict predicate;
         # appended AFTER __init__ so the synthesized pruning expr (built
-        # from the user's filter clauses only) never sees it.
-        leaf = _FilterLeaf(key, OP_IN_LUT, None, "dict", self._jdict)
-        self._match_idx = len(self.filters)
-        self.filters.append(leaf)
-        self.clauses.append([self._match_idx])
-        # Null join keys never survive inner/semi (no match) or anti
-        # (query/join.py drops them: ``lvalid & (mc == 0)``), and the
-        # selection mask already excludes them — so a null-bearing key
-        # column may serve as a group key (base class gate exception).
-        self._null_ok_group_cols = frozenset(
-            g for g in self.group_cols if g == key
-        )
+        # from the user's filter clauses only) never sees it. left_outer
+        # keeps EVERY probe row (unmatched rows emit with null build
+        # columns), so it has no leaf — and no null-key exemption either
+        # (null-key rows survive, so a null-bearing key group column would
+        # need the generic engine's null-key group).
+        self._match_idx = None
+        if how != "left_outer":
+            leaf = _FilterLeaf(key, OP_IN_LUT, None, "dict", self._jdict)
+            self._match_idx = len(self.filters)
+            self.filters.append(leaf)
+            self.clauses.append([self._match_idx])
+            # Null join keys never survive inner/semi (no match) or anti
+            # (query/join.py drops them: ``lvalid & (mc == 0)``), and the
+            # selection mask already excludes them — so a null-bearing key
+            # column may serve as a group key (base class gate exception).
+            self._null_ok_group_cols = frozenset(
+                g for g in self.group_cols if g == key
+            )
         for pseudo, v in virtuals.items():
             plan = self.value_plans[pseudo]
-            plan.source = (
-                ("mul", key, v[1]) if v[0] == "mul" else ("gather", key)
-            )
+            if v[0] == "mul":
+                plan.source = ("mul", key, v[1])
+            elif v[0] == "mulv":
+                plan.source = ("mulv", key, v[1])
+            elif how == "left_outer":
+                # null-key rows contribute 1 to the row count, 0 to value
+                # partials (their build columns are null -> zero slots)
+                else_v = 1 if v[0] == "cnt1" else 0
+                plan.source = (f"gatherv{else_v}", key)
+            else:
+                plan.source = ("gather", key)
             plan._jkind = v
         self._cnt: np.ndarray | None = None
         if exec_options is not None:
@@ -173,11 +187,12 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
                 rc = np.clip(rc, 0, L - 1)
             np.add.at(cnt, rc[sel], 1)
         self._cnt = cnt
-        # Match mask for the leaf (content changes per execute; the device
-        # LUT cache keys on the array identity).
-        self.filters[self._match_idx].lit = (
-            (cnt == 0) if self._how == "anti" else (cnt > 0)
-        )
+        if self._match_idx is not None:
+            # Match mask for the leaf (content changes per execute; the
+            # device LUT cache keys on the array identity).
+            self.filters[self._match_idx].lit = (
+                (cnt == 0) if self._how == "anti" else (cnt > 0)
+            )
         self._lut_cache = {}
 
         for plan in self.value_plans.values():
@@ -187,8 +202,14 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
             if kind == "cnt":
                 plan.lut = cnt
                 continue
+            if kind == "cnt1":
+                plan.lut = np.maximum(cnt, 1)  # left_outer row multiplier
+                continue
             if kind == "mul":
                 plan.lut = cnt  # device multiplies probe values by it
+                continue
+            if kind == "mulv":
+                plan.lut = np.maximum(cnt, 1)
                 continue
             # Build-side value reductions. A right column the build output
             # lacks behaves as all-null (the generic engine aggregates an
@@ -231,6 +252,11 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
                 lut = np.full(L, _I64_MIN, dtype=np.int64)
                 if len(w0):
                     np.maximum.at(lut, rc[sel], w0[sel])
+            if self._how == "left_outer":
+                # unmatched (cnt==0) codes ARE reachable: their joined rows
+                # carry null build values = zero slots in the generic
+                # kernels
+                lut = np.where(cnt > 0, lut, 0)
             plan.lut = lut
 
     # ------------------------------------------------------------------
@@ -242,15 +268,30 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
         for plan in self.value_plans.values():
             if plan.source is None:
                 continue
+            if plan.source[0].startswith("gatherv"):
+                # left_outer: EVERY lut slot is reachable (no match
+                # filter), plus the null-key else value; the bias must
+                # stay 0 (the else branch bypasses the shift), so
+                # negative partials fall back to the generic engine.
+                else_v = int(plan.source[0][-1])
+                vmin = int(min(plan.lut.min(), else_v)) if len(plan.lut) else 0
+                vmax = int(max(plan.lut.max(), else_v)) if len(plan.lut) else 0
+                if vmin < 0:
+                    raise NotCompilable(
+                        "left_outer fusion needs non-negative partials"
+                    )
+                ranges[plan.column] = (0, vmax)
+                continue
             if plan.source[0] == "gather":
                 if present.any():
                     lut = plan.lut[present]
                     ranges[plan.column] = (int(lut.min()), int(lut.max()))
                 continue
-            # ("mul", key, src): candidate bounds of v*c over the corner
-            # products of [vmin, vmax] x [0, cmax] (bilinear => extremes at
-            # corners; exact in Python ints, the 59-bit gate rejects
-            # overwide spans downstream).
+            # ("mul"/"mulv", key, src): candidate bounds of v*c over the
+            # corner products of [vmin, vmax] x [lo_c, hi_c] (bilinear =>
+            # extremes at corners; exact in Python ints, the 59-bit gate
+            # rejects overwide spans downstream). mulv multipliers are in
+            # [1, max(cnt,1)] — null-key rows multiply by 1.
             src = plan.source[2]
             lo = hi = None
             for p in parts:
@@ -266,20 +307,29 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
                 hi = r[1] if hi is None else max(hi, r[1])
             if lo is None:
                 continue
-            cands = (0, lo * cmax, hi * cmax)
+            if plan.source[0] == "mulv":
+                cmax1 = max(cmax, 1)
+                cands = (lo, hi, lo * cmax1, hi * cmax1)
+            else:
+                cands = (0, lo * cmax, hi * cmax)
             ranges[plan.column] = (min(cands), max(cands))
 
     def _fused_args(self, sp, plans) -> list:
         import jax.numpy as jnp
 
-        cnt_dev = None
         for plan in plans:
             if plan.source is None:
                 continue
-            if plan.source[0] == "mul":
-                if cnt_dev is None:
-                    cnt_dev = jnp.asarray(self._cnt)
-                plan.lut_dev = cnt_dev
+            kind0 = plan.source[0]
+            if kind0 in ("mul", "mulv"):
+                plan.lut_dev = jnp.asarray(plan.lut.astype(np.int64))
+                continue
+            if kind0.startswith("gatherv"):
+                # bias is pinned to 0 (_virtual_ranges reports vmin=0);
+                # absent codes were folded at build time
+                assert plan.bias == 0, plan.bias
+                dt = np.int64 if plan.wide else np.int32
+                plan.lut_dev = jnp.asarray(plan.lut.astype(dt))
                 continue
             # Bias-shifted LUT; absent codes (never selected thanks to the
             # match leaf / zero count) hold 0 so every gathered plane value
@@ -291,7 +341,7 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
 
     def _filter_parts(self, parts) -> list:
         parts = super()._filter_parts(parts)
-        if self._how == "anti":
+        if self._how in ("anti", "left_outer"):
             return parts
         # Build-side pruning: a part none of whose PRESENT key codes match
         # contributes no joined row (code_presence covers valid slots only;
@@ -353,7 +403,7 @@ def lower_plan_join_agg(plan, exec_options=None) -> CompiledJoinAggregate:
     if jnode is None or jnode.join is None:
         raise NotCompilable("no join below the aggregation")
     join = jnode.join
-    if join.how not in ("inner", "semi", "anti"):
+    if join.how not in ("inner", "left_outer", "semi", "anti"):
         raise NotCompilable(f"join fusion: mode {join.how} is generic")
     if len(join.on) != 1:
         raise NotCompilable("join fusion: single-key joins only")
@@ -400,26 +450,31 @@ def lower_plan_join_agg(plan, exec_options=None) -> CompiledJoinAggregate:
 
     table = spec.table
     schema = table.schema()
+    lo = join.how == "left_outer"
     virtuals: dict = {}
     rewritten: list = []
     for func, col, name in spec.aggs:
         if func == E.AGG_COUNT:
-            # count over pairs counts every joined row, nulls included
-            # (aggregate.go:934) = sum of per-left-row match counts.
-            virtuals.setdefault("#jcnt", ("cnt", None))
+            # count over joined rows (nulls included, aggregate.go:934):
+            # inner = sum of match counts; left_outer = max(cnt,1) for
+            # valid keys and 1 for null-key rows (each emits one row).
+            virtuals.setdefault("#jcnt", ("cnt1" if lo else "cnt", None))
             rewritten.append((E.AGG_SUM, "#jcnt", name))
             continue
         if schema.column_by_name(col) is not None:
             # Probe-side value: min/max ignore pair multiplicity (plain
-            # plane); sums multiply by the match count.
+            # plane); sums multiply by the row multiplier.
             if func == E.AGG_SUM:
                 pseudo = f"#jl:{col}"
-                virtuals.setdefault(pseudo, ("mul", col))
+                virtuals.setdefault(pseudo, ("mulv" if lo else "mul", col))
                 rewritten.append((E.AGG_SUM, pseudo, name))
             else:
                 rewritten.append((func, col, name))
             continue
         # Build-side value: per-key-code reduction gathered by probe codes.
+        # left_outer: unmatched/null-key rows carry NULL build values,
+        # which the generic kernels see as zero slots — the LUT folds
+        # cnt==0 codes to 0 and null-key rows take the else=0 branch.
         if func == E.AGG_SUM:
             pseudo, kind = f"#jr:{col}", "rsum"
         elif func == E.AGG_MIN:
@@ -430,5 +485,5 @@ def lower_plan_join_agg(plan, exec_options=None) -> CompiledJoinAggregate:
         rewritten.append((func, pseudo, name))
     spec.aggs = rewritten
     return CompiledJoinAggregate(
-        spec, key, "inner", join.right, virtuals, exec_options
+        spec, key, join.how, join.right, virtuals, exec_options
     )

@@ -47,6 +47,7 @@ def build_db(
     null_keys=True,
     dup_dims=True,
     value_scale=1000,
+    weight_lo=-100,
 ):
     store = ColumnStore()
     db = store.db("t")
@@ -103,7 +104,7 @@ def build_db(
                     KIND_INT64,
                     np.where(
                         wvalid,
-                        rng.integers(-100, 100, m).astype(np.int64),
+                        rng.integers(weight_lo, 100, m).astype(np.int64),
                         0,
                     ),
                     wvalid,
@@ -393,8 +394,10 @@ def test_renamed_right_column():
     )
 
 
-def test_left_outer_falls_back():
-    store, db = build_db()
+def test_left_outer_null_group_keys_fall_back():
+    # left_outer keeps null-key rows, whose group key is null -> the
+    # compiled tiers cannot emit the null-key group
+    store, db = build_db(null_keys=True)
     run_both(
         db,
         lambda e: q_join(e, "left_outer").aggregate(
@@ -402,6 +405,60 @@ def test_left_outer_falls_back():
         ),
         expect_path="generic",
     )
+
+
+def test_left_outer_fused():
+    # valid keys everywhere -> the left_outer decomposition serves:
+    # unmatched rows emit one row with null build values (zero slots)
+    store, db = build_db(null_keys=False, weight_lo=0)
+    run_both(
+        db,
+        lambda e: q_join(e, "left_outer").aggregate(
+            [
+                E.Sum(E.Col("weight")),
+                E.Count(E.Col("weight")),
+                E.Min(E.Col("weight")),
+                E.Max(E.Col("weight")),
+                E.Sum(E.Col("value")),
+                E.Count(E.Col("value")),
+            ],
+            [E.Col("labels.node")],
+        ),
+    )
+    run_both(
+        db,
+        lambda e: q_join(e, "left_outer")
+        .filter(E.Col("timestamp").lt(600))
+        .aggregate(
+            [E.Sum(E.Col("weight")), E.Count(E.Col("value"))],
+            [E.Duration(250)],
+        ),
+    )
+
+
+def test_left_outer_negative_partials_fall_back():
+    # negative build-side sums break the bias-0 requirement of the
+    # left_outer gathered planes -> generic (weights in build_db span
+    # [-100, 100], so per-code sums go negative for some seeds)
+    store, db = build_db(seed=9, null_keys=False)
+    fe = LocalEngine(db.table_provider())
+    out = []
+    q_join(fe, "left_outer").aggregate(
+        [E.Sum(E.Col("weight"))], [E.Col("labels.node")]
+    ).execute(out.append)
+    assert fe.last_serving_path == "generic"
+    assert "non-negative" in fe.last_fallback_reasons.get(
+        "compiled_join", ""
+    )
+    # and still byte-identical through the generic path
+    rows_out = run_both(
+        db,
+        lambda e: q_join(e, "left_outer").aggregate(
+            [E.Sum(E.Col("weight"))], [E.Col("labels.node")]
+        ),
+        expect_path="generic",
+    )
+    assert rows_out
 
 
 def test_dict_growth_between_queries():
