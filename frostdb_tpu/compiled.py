@@ -1400,11 +1400,12 @@ class CompiledFilterAggregate:
                 leaf.op == "<=" and leaf.lit < _INT32_MAX
             ):
                 ops.append(leaf.op)
-            else:
+            elif leaf.op in ("==", "!=") and len(leaves) == 1:
                 # int ==/!= have no unsatisfiable sentinel; single-clause
                 # only via the int8 base plane
-                if len(leaves) == 1:
-                    return (leaf.op, "base8")
+                return (leaf.op, "base8")
+            else:
+                # boundary-literal >=/<= (sentinel would satisfy the op)
                 return None
         return ("band", tuple(ops))
 
@@ -2101,6 +2102,15 @@ class CompiledFilterAggregate:
             # per-query transient accounting (query/memory.go:17); raises
             # MemoryLimitExceeded through to the caller — NOT NotCompilable
             self.allocator.allocate(int(blob.nbytes))
+        try:
+            return self._epilogue(parts, sp, blob, plans, num_codes)
+        finally:
+            # free even when the epilogue raises — a leaked reservation
+            # would fail every later memory-limited query
+            if self.allocator is not None and blob is not None:
+                self.allocator.free(int(blob.nbytes))
+
+    def _epilogue(self, parts, sp, blob, plans, num_codes):
         P = len(parts)
         off = 0
         counts_np = blob[off : off + num_codes]; off += num_codes
@@ -2189,16 +2199,13 @@ class CompiledFilterAggregate:
                 by_name[spec.result_name] = mins_np[spec.column]
             else:
                 by_name[spec.result_name] = maxs_np[spec.column]
-        out = emit_output(
+        return emit_output(
             self._emitted_group_cols(order_arr),
             order_arr,
             [spec.result_name for spec in self.aggs],
             by_name,
             self.output_projection,
         )
-        if self.allocator is not None and blob is not None:
-            self.allocator.free(int(blob.nbytes))
-        return out
 
     def _ordered_sort(self, order_arr: np.ndarray) -> np.ndarray:
         """Key-order re-sort under ordered_aggregations: OrderedAggregate

@@ -59,15 +59,18 @@ _I64_MAX = np.int64(2**63 - 1)
 _I64_MIN = np.int64(-(2**63))
 
 
-# (id(right dict), len, id(left dict), len) -> right code -> left code (or
-# -1). Dictionaries are append-only, so (id, len) is a version key.
+# (id(right dict), len, id(left dict), len) -> (right dict, left dict,
+# right code -> left code (or -1)). Dictionaries are append-only, so
+# (id, len) versions an entry — but ONLY while both objects stay alive:
+# the cache therefore holds strong references, or a recycled address with
+# an equal length would silently serve a stale mapping.
 _R2L_CACHE: dict = {}
 
 
 def _right_to_left_codes(rdict, ldict) -> np.ndarray:
     key = (id(rdict), len(rdict), id(ldict), len(ldict))
     hit = _R2L_CACHE.get(key)
-    if hit is None:
+    if hit is None or hit[0] is not rdict or hit[1] is not ldict:
         if len(_R2L_CACHE) > 256:
             _R2L_CACHE.clear()
         out = np.full(max(len(rdict), 1), -1, dtype=np.int64)
@@ -75,8 +78,8 @@ def _right_to_left_codes(rdict, ldict) -> np.ndarray:
             lc = ldict.lookup(v)
             if lc is not None:
                 out[code] = lc
-        hit = _R2L_CACHE[key] = out
-    return hit
+        hit = _R2L_CACHE[key] = (rdict, ldict, out)
+    return hit[2]
 
 
 class CompiledJoinAggregate(CompiledFilterAggregate):

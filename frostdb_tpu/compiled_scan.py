@@ -335,9 +335,24 @@ class CompiledScan(CompiledFilterAggregate):
             return
         sp = self._superpart(parts)
         idx = self._selected_rows(sp, parts)
+        charged = 0
         if self.allocator is not None:
-            # selected-position transient (query/memory.go:17)
-            self.allocator.allocate(int(idx.nbytes))
+            # selected-position transient (query/memory.go:17); charged
+            # BEFORE the limit slice (the full vector was materialized) and
+            # freed in a finally so neither the early empty-return nor an
+            # epilogue error can leak the reservation
+            charged = int(idx.nbytes)
+            self.allocator.allocate(charged)
+        try:
+            self._materialize(sp, parts, idx, callback)
+        finally:
+            if self.allocator is not None and charged:
+                self.allocator.free(charged)
+
+    def _materialize(self, sp, parts, idx, callback) -> None:
+        from .query.physeval import project_expr
+        from .columnbatch import ColumnBatch
+
         if self.limit is not None:
             # Selected positions are ascending stream order, so the first n
             # are exactly what the generic Limiter chain emits (per-lane
@@ -385,8 +400,6 @@ class CompiledScan(CompiledFilterAggregate):
                     self.allocator.free(nbytes)
                 continue
             callback(batch)
-        if self.allocator is not None:
-            self.allocator.free(int(idx.nbytes))
 
 
 def match_plan_scan(plan, exec_options=None) -> CompiledScan:

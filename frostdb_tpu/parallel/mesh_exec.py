@@ -944,7 +944,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             raise NotCompilable("shuffle-tier pair exchange overflow")
         if self.allocator is not None:
             self.allocator.allocate(int(blob.nbytes))
+        try:
+            return self._shuffle_epilogue(blob, num_codes, k_per, k_pad, n_shards)
+        finally:
+            if self.allocator is not None:
+                self.allocator.free(int(blob.nbytes))
 
+    def _shuffle_epilogue(self, blob, num_codes, k_per, k_pad, n_shards):
         # host assembly: global slot g on shard j = g // k_per holds code
         # (g % k_per) * n_shards + j
         g = np.arange(k_pad, dtype=np.int64)
@@ -1131,8 +1137,16 @@ class MeshFilterAggregate(CompiledFilterAggregate):
             blob_entries.extend(a if isinstance(a, list) else [a])
         blob = np.asarray(jnp.concatenate(blob_entries))
         if self.allocator is not None:
-            # per-query transient accounting (query/memory.go:17)
+            # per-query transient accounting (query/memory.go:17); freed in
+            # a finally so an epilogue error cannot leak the reservation
             self.allocator.allocate(int(blob.nbytes))
+        try:
+            return self._dense_epilogue(blob, num_codes, result_names)
+        finally:
+            if self.allocator is not None:
+                self.allocator.free(int(blob.nbytes))
+
+    def _dense_epilogue(self, blob, num_codes, result_names):
         counts_np = blob[:num_codes]
         first_np = blob[num_codes : 2 * num_codes]
         by_name: dict[str, np.ndarray] = {}
@@ -1193,16 +1207,13 @@ class MeshFilterAggregate(CompiledFilterAggregate):
         order_arr = present[np.argsort(first_np[present], kind="stable")]
         order_arr = self._ordered_sort(order_arr.astype(np.int64))
 
-        out = emit_output(
+        return emit_output(
             self._emitted_group_cols(order_arr),
             order_arr,
             result_names,
             by_name,
             self.output_projection,
         )
-        if self.allocator is not None:
-            self.allocator.free(int(blob.nbytes))
-        return out
 
 
 def lower_plan_mesh(plan, exec_options) -> MeshFilterAggregate:

@@ -1071,21 +1071,25 @@ class Sorter(PhysicalOperator):
         self._batches.append(batch)
 
     def finish(self) -> None:
-        out = None
-        if self._batches:
-            batch = unify_concat(self._batches)
-            self._batches = []
-            if batch.num_rows:
-                from ..schema import SortingColumnDef
+        try:
+            out = None
+            if self._batches:
+                batch = unify_concat(self._batches)
+                self._batches = []
+                if batch.num_rows:
+                    from ..schema import SortingColumnDef
 
-                sorting = [
-                    (name, SortingColumnDef(name, direction, False))
-                    for name, direction in self.keys
-                ]
-                out = batch.sort_by(sorting)
-        if self.allocator is not None and self._allocated:
-            self.allocator.free(self._allocated)
-            self._allocated = 0
+                    sorting = [
+                        (name, SortingColumnDef(name, direction, False))
+                        for name, direction in self.keys
+                    ]
+                    out = batch.sort_by(sorting)
+        finally:
+            # free even when the sort raises (bad key dtype etc.) — a
+            # leaked reservation poisons every later limited query
+            if self.allocator is not None and self._allocated:
+                self.allocator.free(self._allocated)
+                self._allocated = 0
         if out is not None and out.num_rows > 0:
             self.next.callback(out)
         self.next.finish()

@@ -417,3 +417,17 @@ def test_wide_int_filter_column_stays_compiled():
     )
     _assert_parity(db, E.Col("timestamp").gt_eq(-(10**14)))
     _assert_parity(db, E.Col("timestamp").not_eq(int(wide[0])))
+
+
+def test_boundary_literal_comparisons():
+    """regression (round-5 review): >= INT32_MIN / <= INT32_MAX literals
+    fell through the in-kernel-compare gate into the ==/!= evaluator and
+    crashed with KeyError instead of serving via the general mask path."""
+    _s, db, _t = _mk(
+        [{"types": ["cpu", "mem", "cpu", "io"] * 20, "ts": list(range(80))}]
+    )
+    for filt in (
+        E.Col("timestamp").gt_eq(-(2**31)),
+        E.Col("timestamp").lt_eq(2**31 - 1),
+    ):
+        _assert_parity(db, filt)

@@ -138,3 +138,19 @@ def test_limited_mesh_serves():
         engine.last_fallback_reasons,
     )
     assert rows(a) == rows(b)
+
+
+def test_limited_scan_with_limit_releases_everything():
+    # regression (round-5 review): the limit slice used to shrink idx
+    # before the free, leaking (N-n)*8 bytes per query
+    store, db = build_db()
+    alloc = LimitAllocator(64 << 20)
+    engine = LocalEngine(db.table_provider(), allocator=alloc)
+    for _ in range(3):
+        out = []
+        engine.scan_table("t").filter(E.Col("timestamp").lt(500)).project(
+            E.Col("value")
+        ).limit(E.Literal(5)).execute(out.append)
+        assert sum(b.num_rows for b in out) == 5
+    assert engine.last_serving_path == "compiled_scan"
+    assert alloc.allocated() == 0
