@@ -624,7 +624,7 @@ class CompiledFilterAggregate:
                     # all-false parts were skipped, all-true leaves are
                     # no-ops on this part.
                     continue
-                if leaf.kind == "int":
+                if leaf.kind in ("int", "intlut"):
                     if f.kind != KIND_INT64:
                         raise NotCompilable("filter column kind mismatch")
                 elif f.kind != KIND_DICT:
@@ -1338,6 +1338,8 @@ class CompiledFilterAggregate:
 
     def _leaf_sig(self, sp, leaf) -> tuple:
         static = _missing_leaf_all_true(leaf)
+        if leaf.kind == "intlut":
+            return ("intlut",)
         if leaf.kind == "int":
             return ("int", leaf.op, static, self._leaf_i32_ok(sp, leaf))
         if leaf.lit is None:
@@ -1480,19 +1482,9 @@ class CompiledFilterAggregate:
         )
         cl = []
         for idxs in self.clauses:
-            leafs = []
-            for i in idxs:
-                leaf = self.filters[i]
-                static = _missing_leaf_all_true(leaf)
-                if leaf.kind == "int":
-                    leafs.append(
-                        ("int", leaf.op, static, self._leaf_i32_ok(sp, leaf))
-                    )
-                elif leaf.lit is None:
-                    leafs.append(("nulllit", leaf.op, static))
-                else:
-                    leafs.append(("dict", static))
-            cl.append(tuple(leafs))
+            cl.append(
+                tuple(self._leaf_sig(sp, self.filters[i]) for i in idxs)
+            )
         vp = tuple(
             (
                 p.need_sum,
@@ -1521,6 +1513,16 @@ class CompiledFilterAggregate:
         and bool group keys); layout must match _leaf_sig."""
         import jax.numpy as jnp
 
+        if leaf.kind == "intlut":
+            # lit = (base, bool lut) set per execute by the join fusion
+            base, lut_np = leaf.lit
+            return [
+                self._sp_plane(sp, "int64_m", leaf.column),
+                self._sp_plane(sp, "valid_m", leaf.column),
+                self._sp_plane(sp, "has", leaf.column),
+                _dev_scalar(int(base), jnp.int64),
+                jnp.asarray(lut_np.astype(np.int32)),
+            ]
         if leaf.kind == "int":
             if self._leaf_i32_ok(sp, leaf):
                 return [
@@ -1639,7 +1641,16 @@ class CompiledFilterAggregate:
                 # Join-fusion virtual plane: the probe side's raw key codes
                 # plus the per-execute (bias-shifted) build-side LUT.
                 kind0 = plan.source[0]
-                args.append(self._sp_plane(sp, "codes", plan.source[1]))
+                if kind0.endswith("_i"):
+                    # int-key join: codes derive from the int64 key plane
+                    args.append(
+                        self._sp_plane(sp, "int64_m", plan.source[1])
+                    )
+                    args.append(_dev_scalar(int(plan.source[2]), jnp.int64))
+                else:
+                    args.append(
+                        self._sp_plane(sp, "codes", plan.source[1])
+                    )
                 if kind0.startswith("gatherv") or kind0 == "mulv":
                     # left_outer: null-key rows take the static else value
                     args.append(
@@ -1647,9 +1658,14 @@ class CompiledFilterAggregate:
                     )
                 if kind0.startswith("gather"):
                     args.append(plan.lut_dev)
-                else:  # mul/mulv: src values x match-count multiplier
+                else:  # mul*: src values x match-count multiplier
+                    src_col = (
+                        plan.source[3]
+                        if kind0.endswith("_i")
+                        else plan.source[2]
+                    )
                     args.append(plan.lut_dev)
-                    args.append(self._sp_plane(sp, "int64", plan.source[2]))
+                    args.append(self._sp_plane(sp, "int64", src_col))
                     args.append(_dev_scalar(plan.bias, jnp.int64))
             elif plan.fexact is not None:
                 # Four host-decomposed digit planes (_sp_fplanes): TPU f64
@@ -1691,6 +1707,14 @@ class CompiledFilterAggregate:
 
         def leaf_mask(i, leaf, f):
             fvalid = f.validity[lo:hi]
+            if leaf.kind == "intlut":
+                base, lut = leaf.lit
+                c = np.clip(
+                    f.values[lo:hi].astype(np.int64) - base,
+                    0,
+                    len(lut) - 1,
+                )
+                return lut[c].astype(np.bool_) & fvalid
             if leaf.kind == "int":
                 fv = f.values[lo:hi]
                 lit = leaf.lit
@@ -2289,6 +2313,22 @@ def _build_fused_program(structure):
             Missing columns resolve statically per row range via the
             cached ``has`` plane."""
             nonlocal i
+            if leaf[0] == "intlut":
+                # int-key join match: boolean LUT over the range-dense key
+                # space, gathered by (value - base)
+                fv, fvalid, has, base, lut = (
+                    xs[i],
+                    xs[i + 1],
+                    xs[i + 2],
+                    xs[i + 3],
+                    xs[i + 4],
+                )
+                i += 5
+                c = jnp.clip(fv - base, 0, lut.shape[0] - 1).astype(
+                    jnp.int32
+                )
+                m = jnp.take(lut, c, mode="clip") * fvalid
+                return jnp.where(has == 1, m, 0)
             if leaf[0] == "int":
                 fv, fvalid, has, lit = (
                     xs[i],
@@ -2426,6 +2466,39 @@ def _build_fused_program(structure):
                 v = jnp.take(lut, cplane, mode="clip")
                 value_planes.append(
                     wide_split(v, nd, hd) if wide else [(v, nd)]
+                )
+                continue
+            if src == "gather_i":
+                # int-key join: range-dense codes derive from the int64
+                # key plane ((v - base) is in [0, K) for every probe slot
+                # by construction: base/K come from the parts' zone maps)
+                vplane, base, lut = xs[i], xs[i + 1], xs[i + 2]
+                i += 3
+                c = jnp.clip(
+                    vplane - base, 0, lut.shape[0] - 1
+                ).astype(jnp.int32)
+                v = jnp.take(lut, c, mode="clip")
+                value_planes.append(
+                    wide_split(v, nd, hd) if wide else [(v, nd)]
+                )
+                continue
+            if src == "mul_i":
+                vplane, base, cnt, vals, bias = (
+                    xs[i],
+                    xs[i + 1],
+                    xs[i + 2],
+                    xs[i + 3],
+                    xs[i + 4],
+                )
+                i += 5
+                c = jnp.clip(
+                    vplane - base, 0, cnt.shape[0] - 1
+                ).astype(jnp.int32)
+                v = vals * jnp.take(cnt, c, mode="clip") - bias
+                value_planes.append(
+                    wide_split(v, nd, hd)
+                    if wide
+                    else [(v.astype(jnp.int32), nd)]
                 )
                 continue
             if src.startswith("gatherv"):

@@ -109,13 +109,25 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
         )
         schema = spec.table.schema()
         kdef = schema.column_by_name(key)
-        if kdef is None or kdef.layout.type != "string":
-            raise NotCompilable("join fusion needs a dict-coded key column")
+        if kdef is None or kdef.layout.type not in ("string", "int64"):
+            raise NotCompilable(
+                "join fusion needs a dict-coded or int64 key column"
+            )
         self._jkey = key
         self._how = how
         self._right_plan = right_plan
         self._opts = exec_options
-        self._jdict = spec.table.dictionary(key.split(".", 1)[0])
+        self._int_key = kdef.layout.type == "int64"
+        if self._int_key and how == "left_outer":
+            # left_outer's gatherv planes read the dict codes machinery;
+            # the int-key variant is not wired (null-key rows are rare on
+            # id joins anyway)
+            raise NotCompilable("left_outer int-key joins are generic")
+        self._jdict = (
+            None
+            if self._int_key
+            else spec.table.dictionary(key.split(".", 1)[0])
+        )
         # The match leaf: lut[key code] gathered like any dict predicate;
         # appended AFTER __init__ so the synthesized pruning expr (built
         # from the user's filter clauses only) never sees it. left_outer
@@ -125,7 +137,15 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
         # need the generic engine's null-key group).
         self._match_idx = None
         if how != "left_outer":
-            leaf = _FilterLeaf(key, OP_IN_LUT, None, "dict", self._jdict)
+            if self._int_key:
+                # intlut leaf: lit = (base, bool lut over the range-dense
+                # key space), set per execute once the visible parts' key
+                # range is known (_virtual_ranges)
+                leaf = _FilterLeaf(
+                    key, OP_IN_LUT, (0, np.zeros(1, np.bool_)), "intlut"
+                )
+            else:
+                leaf = _FilterLeaf(key, OP_IN_LUT, None, "dict", self._jdict)
             self._match_idx = len(self.filters)
             self.filters.append(leaf)
             self.clauses.append([self._match_idx])
@@ -138,7 +158,15 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
             )
         for pseudo, v in virtuals.items():
             plan = self.value_plans[pseudo]
-            if v[0] == "mul":
+            if self._int_key:
+                # base filled per execute (_virtual_ranges) from the
+                # visible parts' key range
+                plan.source = (
+                    ("mul_i", key, 0, v[1])
+                    if v[0] == "mul"
+                    else ("gather_i", key, 0)
+                )
+            elif v[0] == "mul":
                 plan.source = ("mul", key, v[1])
             elif v[0] == "mulv":
                 plan.source = ("mulv", key, v[1])
@@ -163,6 +191,12 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
         out: list = []
         build_physical(self._right_plan, self._opts).execute(out.append)
         right = unify_concat(out) if out else None
+
+        if self._int_key:
+            self._right_batch = right
+            self._cnt = np.zeros(1, dtype=np.int64)  # rebuilt per parts
+            self._lut_cache = {}
+            return
 
         L = max(len(self._jdict), 1)
         cnt = np.zeros(L, dtype=np.int64)
@@ -190,6 +224,7 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
                 rc = np.clip(rc, 0, L - 1)
             np.add.at(cnt, rc[sel], 1)
         self._cnt = cnt
+        self._build_value_luts(rc, sel, right, L, cnt)
         if self._match_idx is not None:
             # Match mask for the leaf (content changes per execute; the
             # device LUT cache keys on the array identity).
@@ -198,6 +233,7 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
             )
         self._lut_cache = {}
 
+    def _build_value_luts(self, rc, sel, right, L, cnt) -> None:
         for plan in self.value_plans.values():
             if plan.source is None:
                 continue
@@ -265,7 +301,64 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
     # ------------------------------------------------------------------
     # Compiled-tier hooks
 
+    _INT_KEY_MAX_SPAN = 1 << 21  # LUT slots (16 MB int64) per value plan
+
+    def _prepare_int_key(self, parts) -> None:
+        """Int-key joins: the code space is the RANGE-DENSE span of the
+        visible probe parts' key values ((v - base) covers every probe
+        slot including zero-filled nulls, so no in-range mask is needed);
+        build rows map by subtraction, out-of-span rows can match nothing.
+        Runs per execute once the pruned part set is known."""
+        kmin = kmax = None
+        for p in parts:
+            r = p.raw_range(self._jkey)
+            if r is None:
+                raise NotCompilable(f"{self._jkey} lacks a zone range")
+            kmin = r[0] if kmin is None else min(kmin, r[0])
+            kmax = r[1] if kmax is None else max(kmax, r[1])
+        if kmin is None:
+            kmin, kmax = 0, 0
+        L = int(kmax - kmin + 1)
+        if L > self._INT_KEY_MAX_SPAN:
+            raise NotCompilable(
+                f"int join-key span {L} exceeds the LUT ceiling"
+            )
+        right = self._right_batch
+        cnt = np.zeros(L, dtype=np.int64)
+        rc = np.zeros(0, dtype=np.int64)
+        sel = np.zeros(0, dtype=np.bool_)
+        if right is not None and right.num_rows:
+            kc = right.column(self._jkey)
+            if kc is not None:
+                if kc.kind != KIND_INT64:
+                    raise NotCompilable(
+                        "int-key join fusion needs int64 keys on both sides"
+                    )
+                rk = kc.values.astype(np.int64)
+                sel = kc.validity & (rk >= kmin) & (rk <= kmax)
+                rc = np.clip(rk - kmin, 0, L - 1)
+            np.add.at(cnt, rc[sel], 1)
+        self._cnt = cnt
+        self._build_value_luts(rc, sel, right, L, cnt)
+        if self._match_idx is not None:
+            self.filters[self._match_idx].lit = (
+                int(kmin),
+                (cnt == 0) if self._how == "anti" else (cnt > 0),
+            )
+        # fill the per-execute base into the virtual sources
+        for plan in self.value_plans.values():
+            if plan.source is None:
+                continue
+            if plan.source[0] == "gather_i":
+                plan.source = ("gather_i", self._jkey, int(kmin))
+            elif plan.source[0] == "mul_i":
+                plan.source = (
+                    "mul_i", self._jkey, int(kmin), plan.source[3]
+                )
+
     def _virtual_ranges(self, parts, ranges) -> None:
+        if self._int_key:
+            self._prepare_int_key(parts)
         present = self._cnt > 0
         cmax = int(self._cnt.max()) if len(self._cnt) else 0
         for plan in self.value_plans.values():
@@ -285,7 +378,7 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
                     )
                 ranges[plan.column] = (0, vmax)
                 continue
-            if plan.source[0] == "gather":
+            if plan.source[0] in ("gather", "gather_i"):
                 if present.any():
                     lut = plan.lut[present]
                     ranges[plan.column] = (int(lut.min()), int(lut.max()))
@@ -295,7 +388,11 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
             # extremes at corners; exact in Python ints, the 59-bit gate
             # rejects overwide spans downstream). mulv multipliers are in
             # [1, max(cnt,1)] — null-key rows multiply by 1.
-            src = plan.source[2]
+            src = (
+                plan.source[3]
+                if plan.source[0] == "mul_i"
+                else plan.source[2]
+            )
             lo = hi = None
             for p in parts:
                 c = p.batch.column(src)
@@ -324,7 +421,7 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
             if plan.source is None:
                 continue
             kind0 = plan.source[0]
-            if kind0 in ("mul", "mulv"):
+            if kind0 in ("mul", "mulv", "mul_i"):
                 plan.lut_dev = jnp.asarray(plan.lut.astype(np.int64))
                 continue
             if kind0.startswith("gatherv"):
@@ -344,7 +441,7 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
 
     def _filter_parts(self, parts) -> list:
         parts = super()._filter_parts(parts)
-        if self._how in ("anti", "left_outer"):
+        if self._how in ("anti", "left_outer") or self._int_key:
             return parts
         # Build-side pruning: a part none of whose PRESENT key codes match
         # contributes no joined row (code_presence covers valid slots only;
@@ -364,6 +461,9 @@ class CompiledJoinAggregate(CompiledFilterAggregate):
                 continue
             out.append(p)
         return out
+
+    def _codes_sel(self, part, gplan):
+        raise NotCompilable("join fusion needs the superpart path")
 
     def _execute(self):
         self._prepare_right()

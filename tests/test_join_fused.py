@@ -529,3 +529,146 @@ def test_fuzz_parity():
                 .filter(E.Col("timestamp").gt_eq(lit))
                 .aggregate(aggs, groups),
             )
+
+
+def _int_key_db(seed=0, id_lo=1000, id_hi=9000, dims_lo=500, dims_hi=8000):
+    schema = SchemaDef(
+        "t",
+        (
+            ColumnDef(
+                "g",
+                StorageLayout(
+                    TYPE_STRING,
+                    nullable=True,
+                    encoding=ENCODING_RLE_DICTIONARY,
+                ),
+            ),
+            ColumnDef("id", StorageLayout(TYPE_INT64, nullable=True)),
+            ColumnDef("v", StorageLayout(TYPE_INT64, nullable=True)),
+        ),
+        (SortingColumnDef("g", "asc", True),),
+    )
+    store = ColumnStore()
+    db = store.db("ik")
+    t = db.table("t", TableConfig(schema=schema))
+    dg = t.dictionary("g")
+    rng = np.random.default_rng(seed)
+    for _ in range(2):
+        n = 2500
+        gc, gv = dg.encode([f"g{int(i)}" for i in rng.integers(0, 6, n)])
+        ids = rng.integers(id_lo, id_hi, n).astype(np.int64)
+        iv = rng.random(n) > 0.05
+        t.insert_record(
+            ColumnBatch(
+                [
+                    Column("g", KIND_DICT, gc, gv, dg),
+                    Column("id", KIND_INT64, np.where(iv, ids, 0), iv),
+                    Column(
+                        "v",
+                        KIND_INT64,
+                        rng.integers(-50, 50, n).astype(np.int64),
+                        np.ones(n, bool),
+                    ),
+                ],
+                n,
+            ),
+            sort=True,
+        )
+    t.sync()
+    dims = db.table(
+        "dims",
+        TableConfig(
+            schema=SchemaDef(
+                "dims",
+                (
+                    ColumnDef(
+                        "id", StorageLayout(TYPE_INT64, nullable=True)
+                    ),
+                    ColumnDef(
+                        "w", StorageLayout(TYPE_INT64, nullable=True)
+                    ),
+                ),
+                (),
+            )
+        ),
+    )
+    m = 400
+    did = rng.integers(dims_lo, dims_hi, m).astype(np.int64)
+    dv = rng.random(m) > 0.1
+    dims.insert_record(
+        ColumnBatch(
+            [
+                Column("id", KIND_INT64, np.where(dv, did, 0), dv),
+                Column(
+                    "w",
+                    KIND_INT64,
+                    rng.integers(0, 100, m).astype(np.int64),
+                    rng.random(m) > 0.15,
+                ),
+            ],
+            m,
+        )
+    )
+    return store, db
+
+
+def _int_join(e, how="inner"):
+    return e.scan_table("t").join(
+        e.scan_table("dims"), on=["id"], how=how
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_int_key_join_fused(seed):
+    # Range-dense int64 join keys (id joins): codes derive from the probe
+    # parts' zone-map span; build rows outside the span match nothing.
+    store, db = _int_key_db(seed=seed)
+    run_both(
+        db,
+        lambda e: _int_join(e).aggregate(
+            [
+                E.Sum(E.Col("w")),
+                E.Count(E.Col("v")),
+                E.Min(E.Col("w")),
+                E.Max(E.Col("w")),
+                E.Sum(E.Col("v")),
+            ],
+            [E.Col("g")],
+        ),
+    )
+    run_both(
+        db,
+        lambda e: _int_join(e)
+        .filter(E.Col("id").lt(5000))
+        .aggregate([E.Sum(E.Col("w"))], [E.Col("g")]),
+    )
+    for how in ("semi", "anti"):
+        run_both(
+            db,
+            lambda e: _int_join(e, how).aggregate(
+                [E.Sum(E.Col("v")), E.Count(E.Col("v"))], [E.Col("g")]
+            ),
+        )
+
+
+def test_int_key_span_ceiling_falls_back():
+    # key span past the LUT ceiling (2^21) -> generic
+    store, db = _int_key_db(id_lo=0, id_hi=1 << 24, dims_hi=1 << 24)
+    run_both(
+        db,
+        lambda e: _int_join(e).aggregate(
+            [E.Sum(E.Col("w"))], [E.Col("g")]
+        ),
+        expect_path="generic",
+    )
+
+
+def test_int_key_left_outer_falls_back():
+    store, db = _int_key_db()
+    run_both(
+        db,
+        lambda e: _int_join(e, "left_outer").aggregate(
+            [E.Sum(E.Col("w"))], [E.Col("g")]
+        ),
+        expect_path="generic",
+    )
