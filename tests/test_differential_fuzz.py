@@ -327,3 +327,67 @@ def test_join_differential(seed):
         generic, _ = _run(db, ExecOptions(compiled_serving=False), make_q)
         fast, path = _run(db, ExecOptions(compiled_serving=True), make_q)
         assert fast == generic, (seed, how, path)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_int_key_join_differential(seed):
+    rng = np.random.default_rng(13000 + seed)
+    store, db = build_db(rng)
+    # add an int64 id column table pair via a second fact/dims pairing on ts
+    dims = db.table(
+        "idims",
+        TableConfig(
+            schema=SchemaDef(
+                "idims",
+                (
+                    ColumnDef(
+                        "ts", StorageLayout(TYPE_INT64, nullable=True)
+                    ),
+                    ColumnDef(
+                        "w", StorageLayout(TYPE_INT64, nullable=True)
+                    ),
+                ),
+                (),
+            )
+        ),
+    )
+    m = int(rng.integers(5, 300))
+    dv = rng.random(m) > 0.1
+    dims.insert_record(
+        ColumnBatch(
+            [
+                Column(
+                    "ts",
+                    KIND_INT64,
+                    np.where(
+                        dv, rng.integers(0, 10**5, m), 0
+                    ).astype(np.int64),
+                    dv,
+                ),
+                Column(
+                    "w",
+                    KIND_INT64,
+                    rng.integers(0, 50, m).astype(np.int64),
+                    rng.random(m) > 0.2,
+                ),
+            ],
+            m,
+        )
+    )
+    for how in ("inner", "semi", "anti"):
+        aggs = (
+            [E.Sum(E.Col("w")), E.Count(E.Col("v"))]
+            if how == "inner"
+            else [E.Sum(E.Col("v"))]
+        )
+
+        def make_q(e):
+            return (
+                e.scan_table("t")
+                .join(e.scan_table("idims"), on=["ts"], how=how)
+                .aggregate(aggs, [E.Col("g")])
+            )
+
+        generic, _ = _run(db, ExecOptions(compiled_serving=False), make_q)
+        fast, path = _run(db, ExecOptions(compiled_serving=True), make_q)
+        assert fast == generic, (seed, how, path)
