@@ -168,105 +168,62 @@ class LocalQueryBuilder:
                 batch = batch.slice(0, post_limit)
             if batch.num_rows > 0:
                 callback(batch)
+        from ..compiled import NotCompilable
+
+        def try_tier(path: str, lower) -> bool:
+            """Run one fast tier; True = served (results emitted). A
+            NotCompilable records the decline reason and falls through;
+            anything else (incl. MemoryLimitExceeded) propagates as a
+            query error."""
+            try:
+                out = lower(inner, self.engine.exec_options).execute()
+            except NotCompilable as e:
+                reasons[path] = str(e) or type(e).__name__
+                return False
+            self._mark_path(path, reasons, root_span)
+            emit([out])
+            return True
+
         if self.engine.exec_options.mesh is not None:
-            # Distributed serving: the same query lowered as one SPMD
-            # program over the mesh (parallel/mesh_exec.py). Results are
+            # Distributed serving first: the same query lowered as one
+            # SPMD program over the mesh (parallel/mesh_exec.py),
             # byte-identical to the single-stream engine on any device
-            # count; NotCompilable falls through to the local paths.
-            from ..compiled import NotCompilable
+            # count; NotCompilable falls through to the local tiers.
             from ..parallel.mesh_exec import lower_plan_mesh
 
-            try:
-                out = lower_plan_mesh(
-                    inner, self.engine.exec_options
-                ).execute()
-                self._mark_path("mesh", reasons, root_span)
-                emit([out])
+            if try_tier("mesh", lower_plan_mesh):
                 return
-            except NotCompilable as e:
-                reasons["mesh"] = str(e) or type(e).__name__
         if self.engine.exec_options.compiled_serving:
-            # Memory-limited queries serve the fast tiers too: each tier
-            # accounts its per-query transients (result blob / selected
-            # positions / in-flight batches) against the allocator
+            # Local fast tiers, fastest-first; each PROVES the generic
+            # engine's exact result or declines with a recorded reason:
+            #   compiled          fused Pallas filter+group-aggregate
+            #   compiled_join     groupjoin decomposition of agg-over-join
+            #   dense             int64 segment reductions past the one-hot
+            #                     envelope (+ the K>2^20 shuffle tier)
+            #   compiled_distinct fused distinct (Parca Types/Values)
+            #   schema_meta       schema scans from part metadata (Labels)
+            # Memory-limited queries serve these too: each tier accounts
+            # its per-query transients against the allocator
             # (query/memory.go:17) and MemoryLimitExceeded propagates as a
-            # query error, never as a fallback (VERDICT r4 weak #3).
-            # Compiled serving fast path: lower the whole plan onto the
-            # fused device kernels when the pattern is provable; results
-            # (values, names, group emission order) are exactly the generic
-            # engine's. NotCompilable falls through to the operator DAG.
-            from ..compiled import NotCompilable, lower_plan
-
-            try:
-                out = lower_plan(inner, self.engine.exec_options).execute()
-                self._mark_path("compiled", reasons, root_span)
-                emit([out])
-                return
-            except NotCompilable as e:
-                reasons["compiled"] = str(e) or type(e).__name__
-            # Join->aggregate fusion (compiled_join.py): the groupjoin
-            # decomposition collapses Aggregate(Join(L,R)) onto the same
-            # fused kernels — pairs never materialize anywhere.
-            from ..compiled_join import lower_plan_join_agg
-
-            try:
-                out = lower_plan_join_agg(
-                    inner, self.engine.exec_options
-                ).execute()
-                self._mark_path("compiled_join", reasons, root_span)
-                emit([out])
-                return
-            except NotCompilable as e:
-                reasons["compiled_join"] = str(e) or type(e).__name__
-            # Dense tier: the same matched shape past the one-hot kernel's
-            # envelope (large code spaces, huge min/max spans) runs as int64
-            # segment reductions over the cached device parts — still
-            # device-resident, still byte-identical (mesh_exec.
-            # DenseLocalAggregate); NotCompilable falls to the generic DAG.
-            from ..parallel.mesh_exec import lower_plan_dense
-
-            try:
-                out = lower_plan_dense(
-                    inner, self.engine.exec_options
-                ).execute()
-                self._mark_path("dense", reasons, root_span)
-                emit([out])
-                return
-            except NotCompilable as e:
-                reasons["dense"] = str(e) or type(e).__name__
-            # Compiled distinct serving (the Parca Types/Values shapes):
-            # the fused group machinery with zero aggregations
-            # (compiled_distinct.py); comparison keys ride as 2-code bool
-            # group columns.
+            # query error, never as a fallback.
+            from ..compiled import lower_plan
             from ..compiled_distinct import lower_plan_distinct
-
-            try:
-                out = lower_plan_distinct(
-                    inner, self.engine.exec_options
-                ).execute()
-                self._mark_path("compiled_distinct", reasons, root_span)
-                emit([out])
-                return
-            except NotCompilable as e:
-                reasons["compiled_distinct"] = str(e) or type(e).__name__
-            # Schema-scan serving from part metadata (the Parca Labels
-            # shape): distinct column names + filters in pure host work —
-            # no device round-trip (schema_meta.py).
+            from ..compiled_join import lower_plan_join_agg
+            from ..parallel.mesh_exec import lower_plan_dense
             from ..schema_meta import lower_plan_schema
 
-            try:
-                out = lower_plan_schema(
-                    inner, self.engine.exec_options
-                ).execute()
-                self._mark_path("schema_meta", reasons, root_span)
-                emit([out])
-                return
-            except NotCompilable as e:
-                reasons["schema_meta"] = str(e) or type(e).__name__
-            # Device-resident filter->project serving (non-aggregate row
-            # retrieval): the selection mask + compaction run on device
-            # over the cached parts; the host materializes only selected
-            # rows (compiled_scan.py).
+            for path, lower in (
+                ("compiled", lower_plan),
+                ("compiled_join", lower_plan_join_agg),
+                ("dense", lower_plan_dense),
+                ("compiled_distinct", lower_plan_distinct),
+                ("schema_meta", lower_plan_schema),
+            ):
+                if try_tier(path, lower):
+                    return
+            # Device-resident filter->project row retrieval streams its
+            # batches (compiled_scan.py) — collected only when an epilogue
+            # must sort/slice the whole result.
             from ..compiled_scan import lower_plan_scan
 
             try:
@@ -303,7 +260,6 @@ def _peel_epilogue(plan):
     single collected output — byte-identical to the generic Sorter/Limiter
     operating on the same stream. A Limit directly over a scan is NOT
     peeled (compiled_scan's own limit handling truncates device-side)."""
-    from . import expr as E
 
     def has_blocking(n) -> bool:
         while n is not None:

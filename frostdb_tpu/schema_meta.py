@@ -30,10 +30,9 @@ from .query import expr as E
 
 
 class SchemaMetaDistinct:
-    def __init__(self, table, filters: list, db):
+    def __init__(self, table, filters: list):
         self.table = table
         self.filters = filters  # bottom-up order (applied in chain order)
-        self.db = db
 
     def execute(self) -> ColumnBatch:
         from .query.physeval import filter_mask
@@ -108,4 +107,4 @@ def lower_plan_schema(plan, exec_options=None) -> SchemaMetaDistinct:
     if table is None:
         raise NotCompilable(f"table not found: {scan.table_name}")
     filters.reverse()  # bottom-up, matching operator chain order
-    return SchemaMetaDistinct(table, filters, getattr(table, "db", None))
+    return SchemaMetaDistinct(table, filters)

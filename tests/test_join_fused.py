@@ -307,7 +307,6 @@ def test_wide_values():
     # Build-side sums past int32 and probe values needing the two-plane
     # (wide) path; products bounded by the candidate-corner range.
     store, db = build_db(value_scale=3_000_000_000)
-    dims2 = db.db_or_none if False else None
     run_both(
         db,
         lambda e: q_join(e).aggregate(
