@@ -8,11 +8,12 @@ pre/post-projection split around aggregations (visitor.go:57-155) so the
 resulting plans — and their explain strings — are identical.
 
 North-star surface beyond the reference (whose sqlparse has no FROM/JOIN/
-ORDER BY/IN — verified by grep): FROM <table>, [INNER|LEFT [OUTER]|SEMI|
-ANTI] JOIN <table> ON <col> [= <col>] / USING(<col>) lowered onto the
+ORDER BY/IN/HAVING — verified by grep): FROM <table>, [INNER|LEFT [OUTER]|
+SEMI|ANTI] JOIN <table> ON <col> [= <col>] / USING(<col>) lowered onto the
 engine's join (and the round-5 groupjoin fusion), IN (...) value lists
-lowered to OR/AND CNF (fast-tier friendly), and ORDER BY col [ASC|DESC]
-via the Sorter operator.
+lowered to OR/AND CNF (fast-tier friendly), HAVING as a post-aggregation
+filter over the result columns, and ORDER BY col [ASC|DESC] via the
+Sorter operator.
 """
 
 from __future__ import annotations
@@ -85,6 +86,19 @@ AGG_FUNCS = {
 class ParseResult:
     explain: bool
     plan: object  # LocalQueryBuilder
+
+
+def _resolve_having(e: E.Expr) -> E.Expr:
+    """Rewrite aggregate-function nodes in a HAVING predicate to column
+    references on their result names (the aggregation already emitted
+    them)."""
+    if isinstance(e, E.AggregationFunction):
+        return E.Col(e.name())
+    if isinstance(e, E.BinaryExpr):
+        return E.BinaryExpr(
+            _resolve_having(e.left), e.op, _resolve_having(e.right)
+        )
+    return e
 
 
 class Parser:
@@ -217,6 +231,10 @@ class _Parser:
                 while self.accept_op(","):
                     group_by.append(self.parse_expr())
 
+        having_expr = None
+        if self.accept_kw("having"):
+            having_expr = self.parse_or()
+
         order_keys: Optional[list] = None
         if self.accept_kw("order"):
             self.expect_kw("by")
@@ -300,6 +318,13 @@ class _Parser:
                 builder = builder.project(*pre)
             builder = builder.aggregate(aggs, group_by)
             builder = builder.project(*post)
+            if having_expr is not None:
+                # HAVING = a filter over the aggregated output columns;
+                # aggregate-function references resolve BY RESULT NAME
+                # against the emitted batch (count(value) -> the
+                # "count(value)" column), evaluated by the generic
+                # PredicateFilter on the [K]-row result
+                builder = builder.filter(_resolve_having(having_expr))
             if order_keys is not None:
                 builder = builder.order_by(*order_keys)
             if limit is not None:

@@ -250,3 +250,23 @@ def test_join_epilogue_served_by_fusion():
     rows, path = run_sql(db, sql)
     assert path == "compiled_join", path
     assert [dict(r)["labels.node"] for r in rows] == ["n4", "n2"]
+
+
+def test_sql_having():
+    store, db = build_db()
+    rows, _p = run_sql(
+        db,
+        "select sum(value) as total, labels.node group by labels.node"
+        " having total > 15000 order by total desc",
+    )
+    totals = [dict(r)["total"] for r in rows]
+    assert totals and all(t > 15000 for t in totals)
+    assert totals == sorted(totals, reverse=True)
+    # having on the un-aliased result name
+    rows2, _p = run_sql(
+        db,
+        "select count(value), labels.node group by labels.node"
+        " having count(value) > 380",
+    )
+    assert all(dict(r)["count(value)"] > 380 for r in rows2)
+    assert rows2
