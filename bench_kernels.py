@@ -114,6 +114,30 @@ def main() -> None:
         results["pallas fused filter+agg (12B/row)"] = (rows, gbs)
 
     @jax.jit
+    def pallas_band(x, carry, salt):
+        # round-5 serving kernel: a two-sided range band evaluated
+        # IN-kernel over sentinel-masked compare planes (compiled.py
+        # fastcmp) — the engine's hot Merge/Range shape
+        from frostdb_tpu.ops.pallas_agg import (
+            pallas_fused_band_group_sum_count,
+        )
+
+        x32 = x.astype(jnp.int32)
+        codes = (x32 & 63).reshape(-1, 128)
+        vals = ((x32 >> 6) & 1023).reshape(-1, 128)
+        ts = (x32 & 127).reshape(-1, 128)
+        lo = salt + jnp.minimum(carry, 0).astype(jnp.int32)
+        hi = lo + jnp.int32(64)
+        s, c, _f = pallas_fused_band_group_sum_count(
+            codes, vals, (ts, ts), (lo, hi), 64, 2, (">=", "<")
+        )
+        return s
+
+    if on_tpu:
+        rows, gbs = chain(pallas_band, datasets64, 12)
+        results["pallas fused band filter+agg (12B/row)"] = (rows, gbs)
+
+    @jax.jit
     def full_sort(x, carry, salt):
         y = x + salt.astype(jnp.int64) + jnp.minimum(carry, 0)
         return jnp.sort(y)[0]
