@@ -326,6 +326,7 @@ class Table:
         completes, so queries never lose visibility mid-rotation. With
         ``wait=True`` the call drains the worker before returning
         (deterministic for tests and the reference's Table.Sync contract)."""
+        log_err: OSError | None = None
         with self._lock:
             old = self.active_block
             tx = self.db.begin() if self.db is not None else 1
@@ -340,19 +341,28 @@ class Table:
                         self.db.wal.log_new_table_block(
                             tx, self.name, self.active_block.id, self.config
                         )
+                except OSError as e:
+                    # The entry is advisory (every write is
+                    # block-id-stamped, so replay does not depend on it) —
+                    # but the swapped-out block's PERSIST below must still
+                    # be queued, or a later successful rotation would
+                    # advance persisted_tx past its transactions and let
+                    # the WAL reclaim its only durable copy (EIO DST
+                    # seed 17: 90 acked rows lost). Re-raised after the
+                    # enqueue.
+                    log_err = e
                 finally:
                     # Always commit (even on an EIO'd log): a holed txn
-                    # would freeze the watermark. The entry is advisory —
-                    # every write is block-id-stamped, so replay does not
-                    # depend on it.
+                    # would freeze the watermark.
                     self.db.commit(tx)
         if self.metrics is not None:
             self.metrics.rotations.inc()
-        if self.db is None or not self.db.sinks:
-            return
-        self.enqueue_persist(old, persist_upto)
-        if wait:
-            self.wait_for_rotations()
+        if self.db is not None and self.db.sinks:
+            self.enqueue_persist(old, persist_upto)
+            if wait and log_err is None:
+                self.wait_for_rotations()
+        if log_err is not None:
+            raise log_err
 
     def enqueue_persist(self, old: "TableBlock", persist_upto: int) -> None:
         """Queue a block persist on the rotation worker (also used by
@@ -426,12 +436,18 @@ class Table:
         # Every write below the replacing block's first txn now lives in a
         # persisted block, so the WAL can reclaim those entries (db.go:1015
         # maintainWAL) — and rotation triggers a snapshot like table.go:513.
-        # Gated on no stranded earlier persist: advancing past a block whose
-        # upload failed would let the WAL drop its only durable copy.
+        # Gated on no stranded earlier persist AND on every still-pending
+        # block's transactions staying covered: advancing past ANY
+        # unpersisted block (failed upload, or a persist that was never
+        # queued) would let the WAL drop its only durable copy.
         with self._rot_lock:
             stranded = bool(self._rot_stranded)
         if not stranded:
-            self.persisted_tx = max(self.persisted_tx, persist_upto)
+            bound = persist_upto
+            with self._lock:
+                for b in self.pending_blocks:
+                    bound = min(bound, b.min_tx - 1)
+            self.persisted_tx = max(self.persisted_tx, bound)
         if (
             self.db.snapshot_trigger_size
             and self.db.snapshot_dir is not None

@@ -104,7 +104,10 @@ def _read_timestamps(db):
     return sorted(ts)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 8, 13, 21])
+# seed 17: the round-5 regression — an EIO'd advisory new-block WAL entry
+# skipped the old block's persist enqueue; a later rotation then advanced
+# persisted_tx past it and the WAL reclaimed its only durable copy
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 8, 13, 17, 21])
 def test_dst_eio(tmp_path, seed):
     rng = np.random.default_rng(seed)
     injector = FaultInjector(
